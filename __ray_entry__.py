@@ -1,44 +1,356 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the georay engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline at sf0.001; ``queries()`` /
+``oracle_sql()`` expose each implemented operator for the sf0.01
+DuckDB correctness gate.  Ray is initialised by the driver BEFORE this
+module is imported — nothing here calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float-parity design note: every oracle-checked query either emits
+integers/strings/timestamps, or doubles produced by the *identical*
+IEEE-754 operation sequence on both sides (see georay/pipelines/pages.py
+printf round-trip) so order-insensitive value hashes match exactly.
+Distributed float SUMs are avoided in checked outputs (addition-order
+nondeterminism) by summing integer cents instead.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from georay import cells
+from georay.pipelines.flagship import flagship, geo_dataset
+from georay.pipelines.pages import PAGES_SQL_CTE, read_pages
+from georay.pipelines.polygons import (
+    N_RECT_COLS,
+    N_RECT_ROWS,
+    N_STARS,
+    polygon_payload,
+    rect_bounds,
+    star_edges_sql_values,
+)
+from georay.stages.join import KNNJoinActor, SpatialJoinActor
+
+SF001 = "/root/testdata/sf0.001"
+CELL_RES = 7
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: extract -> reproject -> cellize ->
+    broadcast spatial join -> per-cell aggregate; returns the aggregate."""
+    joined, agg = flagship(SF001, res=CELL_RES)
+    # consume the join branch so the whole DAG executes; return the agg
+    n = joined.count()
+    assert n >= 0
+    return agg
+
+
+# ---------------------------------------------------------------------------
+# query helpers
+# ---------------------------------------------------------------------------
+
+def _rect_payload():
+    return [p for p in polygon_payload() if p["polygon_id"].startswith("rect-")]
+
+
+def _star_payload():
+    return [p for p in polygon_payload() if p["polygon_id"].startswith("star-")]
+
+
+def _ref_points():
+    """kNN broadcast side: the 24 rect centers."""
+    ids, lons, lats = [], [], []
+    for rid in range(N_RECT_COLS * N_RECT_ROWS):
+        minlon, minlat, maxlon, maxlat = rect_bounds(rid)
+        ids.append(rid)
+        lons.append((minlon + maxlon) / 2.0)
+        lats.append((minlat + maxlat) / 2.0)
+    return {"ref_id": np.asarray(ids, dtype=np.int64), "lon": np.asarray(lons), "lat": np.asarray(lats)}
+
+
+def _q_geo_extract(sf_dir: str):
+    ds = geo_dataset(sf_dir, res=CELL_RES)
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "lon", "lat"]), batch_format="pyarrow"
+    )
+
+
+def _q_tile_assign(sf_dir: str):
+    ds = geo_dataset(sf_dir, res=CELL_RES)
+    return ds.map_batches(lambda b: b.select(["doc_id", "cell"]), batch_format="pyarrow")
+
+
+def _q_cell_agg(sf_dir: str):
+    from georay.stages.aggregate import cell_partial_agg, final_cell_agg
+
+    ds = geo_dataset(sf_dir, res=CELL_RES)
+    return final_cell_agg(ds.map_batches(cell_partial_agg, batch_format="pyarrow"))
+
+
+def _q_bbox_join(sf_dir: str):
+    geo = geo_dataset(sf_dir, res=CELL_RES)
+    ref = ray.put(_rect_payload())
+    return geo.map_batches(
+        SpatialJoinActor,
+        fn_constructor_kwargs={"polygons": ref, "predicate": "BBOX", "keep_cols": ("doc_id",)},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).map_batches(lambda b: b.select(["doc_id", "polygon_id"]), batch_format="pyarrow")
+
+
+def _q_pip_join(sf_dir: str):
+    geo = geo_dataset(sf_dir, res=CELL_RES)
+    ref = ray.put(_star_payload())
+    return geo.map_batches(
+        SpatialJoinActor,
+        fn_constructor_kwargs={"polygons": ref, "predicate": "WITHIN", "keep_cols": ("doc_id",)},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).map_batches(lambda b: b.select(["doc_id", "polygon_id"]), batch_format="pyarrow")
+
+
+def _q_knn(sf_dir: str):
+    geo = geo_dataset(sf_dir, res=CELL_RES)
+    ref = ray.put(_ref_points())
+    return geo.map_batches(
+        KNNJoinActor,
+        fn_constructor_kwargs={"ref_points": ref, "k": 3, "exact": False, "keep_cols": ("doc_id",)},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).map_batches(lambda b: b.select(["doc_id", "ref_id", "rank"]), batch_format="pyarrow")
+
+
+def _q_text_invariant(sf_dir: str):
+    """md5 of the text each page carries == md5 of the source document text
+    (byte-identical extracted text per url)."""
+
+    def md5_batch(b: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode()).hexdigest() for t in b.column("text").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"), "text_md5": pa.array(hs, pa.string())})
+
+    return read_pages(sf_dir).map_batches(md5_batch, batch_format="pyarrow")
+
+
+def _q_dedup_exact(sf_dir: str):
+    """Exact text dedup: keep min doc_id per distinct text (hash-partition
+    + per-group min; SURVEY.md §2.8 exact dedup)."""
+
+    def h(b: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode()).hexdigest() for t in b.column("text").to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string()), "doc_id": b.column("doc_id")})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    agg = ds.map_batches(h, batch_format="pyarrow").groupby("h").aggregate(
+        Min("doc_id", alias_name="doc_id")
+    )
+    return agg.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+def _q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style per-flag aggregate; money summed as integer cents
+    for exact distributed addition."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = np.round(b.column("l_quantity").to_numpy() * 100).astype(np.int64)
+        price = np.round(b.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty_c": pa.array(qty),
+                "price_c": pa.array(price),
+            }
+        )
+        return t
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="sum_qty_cents"),
+            Sum("price_c", alias_name="sum_price_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return agg
+
+
+def _q_top_customers(sf_dir: str):
+    """Join orders x customer, top 10 by total spend (cents)."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        c = np.round(b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_custkey": b.column("o_custkey"), "price_c": pa.array(c)})
+
+    per_cust = (
+        orders.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("price_c", alias_name="total_cents"), Count(alias_name="n_orders"))
+    )
+    # broadcast the small customer table into the batch transform (no shuffle join)
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    cust_ref = ray.put({k: v for k, v in zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())})
+
+    class AttachName:
+        def __init__(self, ref):
+            self.names = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("o_custkey").to_pylist()
+            names = [self.names.get(k) for k in keys]
+            return b.append_column("c_name", pa.array(names, pa.string()))
+
+    named = per_cust.map_batches(
+        AttachName, fn_constructor_kwargs={"ref": cust_ref}, batch_format="pyarrow", concurrency=1
+    )
+    top = named.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda b: b.select(["o_custkey", "c_name", "total_cents", "n_orders"]), batch_format="pyarrow"
+    )
+
+
+def _q_events_by_type(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        c = np.round(b.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"), "ts": b.column("ts"), "value_c": pa.array(c)})
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("ts", alias_name="ts_min"),
+            Max("ts", alias_name="ts_max"),
+            Sum("value_c", alias_name="value_cents"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "geo_extract": _q_geo_extract,
+        "tile_assign": _q_tile_assign,
+        "cell_agg": _q_cell_agg,
+        "bbox_join": _q_bbox_join,
+        "pip_join": _q_pip_join,
+        "knn": _q_knn,
+        "text_invariant": _q_text_invariant,
+        "dedup_exact": _q_dedup_exact,
+        "lineitem_agg": _q_lineitem_agg,
+        "top_customers": _q_top_customers,
+        "events_by_type": _q_events_by_type,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_CELL_SQL = (
+    f"{CELL_RES}*288230376151711744 "
+    f"+ CAST(floor((lat+90.0)/180.0*{1 << CELL_RES}) AS BIGINT)*536870912 "
+    f"+ CAST(floor((lon+180.0)/360.0*{1 << CELL_RES}) AS BIGINT)"
+)
+
+
+def _rect_sql_values() -> str:
+    rows = []
+    for rid in range(N_RECT_COLS * N_RECT_ROWS):
+        minlon, minlat, maxlon, maxlat = rect_bounds(rid)
+        rows.append(f"('rect-{rid}',{minlon!r},{minlat!r},{maxlon!r},{maxlat!r})")
+    return ",\n    ".join(rows)
+
+
+def _ref_sql_values() -> str:
+    refs = _ref_points()
+    return ",\n    ".join(
+        f"({int(i)},{lo!r},{la!r})" for i, lo, la in zip(refs["ref_id"], refs["lon"], refs["lat"])
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    geo_pages = f"WITH {PAGES_SQL_CTE}, geo AS (SELECT * FROM pages WHERE has_geo)"
+    return {
+        "geo_extract": f"{geo_pages} SELECT doc_id, lon, lat FROM geo",
+        "tile_assign": f"{geo_pages} SELECT doc_id, {_CELL_SQL} AS cell FROM geo",
+        "cell_agg": f"""{geo_pages}
+            SELECT {_CELL_SQL} AS cell,
+                   COUNT(*) AS n_docs,
+                   MIN(lon) AS minlon, MIN(lat) AS minlat,
+                   MAX(lon) AS maxlon, MAX(lat) AS maxlat,
+                   MIN(warc_ts) AS t_min, MAX(warc_ts) AS t_max
+            FROM geo GROUP BY 1""",
+        "bbox_join": f"""{geo_pages},
+            rects(polygon_id, minlon, minlat, maxlon, maxlat) AS (VALUES
+            {_rect_sql_values()})
+            SELECT g.doc_id, r.polygon_id
+            FROM geo g JOIN rects r
+              ON g.lon >= r.minlon AND g.lon <= r.maxlon
+             AND g.lat >= r.minlat AND g.lat <= r.maxlat""",
+        "pip_join": f"""{geo_pages},
+            edges(polygon_id, x1, y1, x2, y2) AS (VALUES
+            {star_edges_sql_values()})
+            SELECT doc_id, polygon_id FROM (
+              SELECT g.doc_id, e.polygon_id,
+                     SUM(CASE WHEN ((e.y1 > g.lat) <> (e.y2 > g.lat))
+                               AND (g.lon < e.x1 + (g.lat - e.y1)*(e.x2 - e.x1)/(e.y2 - e.y1))
+                          THEN 1 ELSE 0 END) AS crossings
+              FROM geo g, edges e
+              GROUP BY g.doc_id, e.polygon_id)
+            WHERE crossings % 2 = 1""",
+        "knn": f"""{geo_pages},
+            refs(ref_id, rlon, rlat) AS (VALUES
+            {_ref_sql_values()}),
+            dists AS (
+              SELECT g.doc_id, r.ref_id,
+                     2.0*6371008.8*asin(least(1.0, sqrt(
+                        pow(sin(radians(r.rlat - g.lat)/2.0), 2)
+                        + cos(radians(g.lat))*cos(radians(r.rlat))
+                          *pow(sin(radians(r.rlon - g.lon)/2.0), 2)))) AS d
+              FROM geo g, refs r),
+            ranked AS (
+              SELECT doc_id, ref_id,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY d, ref_id) AS rank
+              FROM dists)
+            SELECT doc_id, ref_id, rank FROM ranked WHERE rank <= 3""",
+        "text_invariant": f"WITH {PAGES_SQL_CTE} SELECT doc_id, md5(text) AS text_md5 FROM pages",
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
+                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "top_customers": """
+            SELECT o.o_custkey, c.c_name,
+                   SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS total_cents,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_custkey, c.c_name
+            ORDER BY total_cents DESC, o.o_custkey LIMIT 10""",
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+                   SUM(CAST(round(value*100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY event_type""",
+    }

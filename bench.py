@@ -1,0 +1,254 @@
+"""Benchmark harness: headline pipeline throughput + per-query timings.
+
+Prints ONE JSON line on stdout (all logs -> stderr):
+
+  {"metric": "flagship_wall_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "num_cpus": N,
+   "docs": <pages>, "docs_per_sec": <rate>, ...}
+
+Headline pipeline (BASELINE.md protocol): read cached synthetic pages
+parquet -> extract -> reproject -> cellize -> broadcast spatial join ->
+partial+final per-cell aggregate; docs/sec = pages / wall.
+
+--scaling runs the SAME job at num_cpus=8 and num_cpus=32 in fresh
+subprocesses on the same input and reports both throughputs plus
+scaling_efficiency = dps@32 / (4 * dps@8)  (sandbox proxy for the
+N -> 4N node rule, per driver instruction).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def ensure_pages(sf_dir: str, n_pages: int, cache_root: str = "/tmp/georay_bench") -> str:
+    """Materialize (once) a deterministic pages parquet of ~n_pages rows by
+    replicating the documents table with offset doc_ids (each replica gets
+    distinct coordinates).  Partitioned files so reads split well."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(cache_root, f"pages_{sf_name}_{n_pages}_v2")
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    from georay.pipelines.pages import synthesize_pages_batch
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    base = docs.num_rows
+    reps = max(1, (n_pages + base - 1) // base)
+    rows_per_file = 12_500
+    buf = []
+    buf_rows = 0
+    file_i = 0
+
+    def flush():
+        nonlocal buf, buf_rows, file_i
+        if buf:
+            pq.write_table(pa.concat_tables(buf), os.path.join(out_dir, f"part-{file_i:05d}.parquet"))
+            file_i += 1
+            buf, buf_rows = [], 0
+
+    total = 0
+    for rep in range(reps):
+        if total >= n_pages:
+            break
+        t = docs
+        if rep:
+            ids = pa.compute.add(t.column("doc_id"), rep * 10_000_000)
+            t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id", ids)
+        take = min(base, n_pages - total)
+        if take < base:
+            t = t.slice(0, take)
+        buf.append(synthesize_pages_batch(t))
+        buf_rows += t.num_rows
+        total += t.num_rows
+        if buf_rows >= rows_per_file:
+            flush()
+    flush()
+    open(done, "w").write(str(total))
+    log(f"pages cache built: {out_dir} rows={total}")
+    return out_dir
+
+
+def run_flagship(pages_dir: str, num_cpus: int, res: int = 7, repeats: int = 2):
+    """Time the headline pipeline over the cached pages parquet.
+
+    The pipeline runs ``repeats`` times and the LAST run is reported:
+    the first run pays one-time worker spawn + library import (~1.5 s x
+    num_cpus of pure startup that a long-lived cluster amortizes away);
+    the steady-state run is what the N vs 4N scaling rule compares.
+    """
+    import ray
+    import ray.data
+
+    from georay.pipelines.polygons import polygon_payload
+    from georay.stages.aggregate import cell_partial_agg, final_cell_agg
+    from georay.stages.geo import Reproject, cellize, extract_geo_batch, filter_has_geo
+    from georay.stages.join import make_spatial_join_fn
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    wall = join_rows = n_cells = None
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        # block count is sized to the DATA (target ~30k rows/block), not the
+        # CPU count, so runs at different parallelism process identical task
+        # shapes — the scaling comparison then measures scheduling, not
+        # accidental block-size effects.
+        ds = ray.data.read_parquet(pages_dir, override_num_blocks=128)
+        geo = (
+            ds.map_batches(lambda b: extract_geo_batch(b, keep_text=False), batch_format="pyarrow")
+            .map_batches(filter_has_geo, batch_format="pyarrow")
+            .map_batches(Reproject(4326), batch_format="pyarrow")
+            .map_batches(lambda b: cellize(b, res), batch_format="pyarrow")
+        )
+        # the geo dataset (per-doc tile assignment) feeds both consumers:
+        # pin it instead of re-deriving the extract chain twice
+        geo = geo.materialize()
+        payload = ray.put(polygon_payload())
+        joined = geo.map_batches(
+            make_spatial_join_fn(payload, "INTERSECTS"),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+        join_rows = joined.count()
+        agg = final_cell_agg(geo.map_batches(cell_partial_agg, batch_format="pyarrow"))
+        n_cells = agg.count()
+        wall = time.perf_counter() - t0
+
+    import pyarrow.parquet as pq
+    import glob
+
+    n_docs = sum(pq.read_metadata(f).num_rows for f in glob.glob(f"{pages_dir}/part-*.parquet"))
+    return {"wall_sec": wall, "docs": n_docs, "docs_per_sec": n_docs / wall, "join_rows": join_rows, "cells": n_cells}
+
+
+def run_queries(sf_dir: str):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry
+
+    out = {}
+    for name, fn in entry.queries().items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        # force execution
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def one_run(args) -> dict:
+    import ray
+
+    pages_dir = ensure_pages(args.sf_dir, args.pages)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False)
+    head = run_flagship(pages_dir, args.num_cpus)
+    qs = run_queries(args.sf_dir) if args.queries else {}
+    ray.shutdown()
+    sf = os.path.basename(os.path.normpath(args.sf_dir)).replace("sf", "")
+    return {
+        "metric": "flagship_wall_sec",
+        "value": round(head["wall_sec"], 3),
+        "unit": "sec",
+        "queries": qs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": args.num_cpus,
+        "docs": head["docs"],
+        "docs_per_sec": round(head["docs_per_sec"], 1),
+        "join_rows": head["join_rows"],
+        "cells": head["cells"],
+    }
+
+
+def _cpu_ceiling(lo: int, hi: int, seconds: float = 2.0) -> float:
+    """Measure THIS machine's raw process-level CPU scaling from lo -> hi
+    concurrent busy loops.  Sandboxes cap effective cores below the
+    advertised count (cgroup quota / SMT / throttling), which caps any
+    pipeline's achievable efficiency; reporting the ceiling alongside the
+    pipeline's efficiency separates scheduler quality from hardware."""
+    import multiprocessing as mp
+
+    def burn(_):
+        t0 = time.perf_counter()
+        x = 0
+        while time.perf_counter() - t0 < seconds:
+            x += 1
+        return x
+
+    totals = {}
+    for n in (lo, hi):
+        with mp.Pool(n) as p:
+            totals[n] = sum(p.map(burn, range(n)))
+    return (totals[hi] / totals[lo]) / (hi / lo)
+
+
+def scaling_run(args) -> dict:
+    ensure_pages(args.sf_dir, args.pages)  # build cache before timing
+    results = {}
+    lo, hi = args.scaling_cpus
+    for n in (lo, hi):
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--sf-dir", args.sf_dir,
+            "--pages", str(args.pages),
+            "--num-cpus", str(n),
+            "--no-queries",
+        ]
+        log(f"scaling run num_cpus={n} ...")
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        if proc.returncode != 0:
+            log(proc.stderr[-2000:])
+            raise RuntimeError(f"scaling subprocess failed at num_cpus={n}")
+        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    dps_lo = results[lo]["docs_per_sec"]
+    dps_hi = results[hi]["docs_per_sec"]
+    eff = dps_hi / (dps_lo * (hi / lo))
+    ceiling = _cpu_ceiling(lo, hi)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {},
+        "sf": results[hi]["sf"],
+        "num_cpus": hi,
+        "docs": results[hi]["docs"],
+        f"docs_per_sec@{lo}": dps_lo,
+        f"docs_per_sec@{hi}": dps_hi,
+        "scaling_efficiency": round(eff, 3),
+        "hw_cpu_scaling_ceiling": round(ceiling, 3),
+        "efficiency_vs_hw_ceiling": round(eff / ceiling, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--pages", type=int, default=200_000)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-cpus", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--no-queries", dest="queries", action="store_false", default=True)
+    args = ap.parse_args()
+
+    out = scaling_run(args) if args.scaling else one_run(args)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Geo-coordinate extraction from web-page html/text (G-04/G-05/G-06 analog).
+
+The reference's source edge parses GML XML into geometries with a CRS
+resolution chain — explicit ``@srsName`` ▸ collection default ▸ ancestor
+``boundedBy`` (GmlUtils.findCRSReference, GmlUtils.java:299-327).  The
+engine's input is Common-Crawl-style pages, so the analogous chain over a
+page's html is:
+
+  1. ``<meta name="geo.position" content="LAT;LON">``   (highest precedence)
+  2. ``<meta name="ICBM" content="LAT, LON">``
+  3. microdata ``itemprop="latitude"/"longitude"`` content attributes
+  4. plain-text pattern ``geo: LAT, LON`` in the body    (lowest)
+
+with the CRS resolved from ``<meta name="geo.srsName" ...>`` when present,
+else defaulting to EPSG:4326 (URN forms normalized via R-07/R-08).
+Meta-tag coordinates are latitude-first (geo.position de-facto spec ==
+GML EPSG:4326 axis order); the engine canonicalizes to lon/lat columns at
+this edge (R-05 critical semantic, SURVEY.md §7.4).
+
+Everything is vectorized through ``pyarrow.compute.extract_regex`` (RE2,
+C++ kernels) — no per-row Python in the hot path.  The page ``text``
+column passes through UNTOUCHED: the byte-identical-extracted-text-per-url
+invariant (BASELINE.json input_hint) is preserved by construction and
+checked in tests/queries via md5.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from georay.crs.identifiers import parse_epsg
+
+_NUM = r"[+-]?\d+(?:\.\d+)?"
+GEO_POSITION_RE = rf'<meta\s+name="geo\.position"\s+content="(?P<glat>{_NUM});(?P<glon>{_NUM})"'
+ICBM_RE = rf'<meta\s+name="ICBM"\s+content="(?P<glat>{_NUM}),\s*(?P<glon>{_NUM})"'
+MICRODATA_RE = (
+    rf'itemprop="latitude"\s+content="(?P<glat>{_NUM})"[\s\S]{{0,200}}?'
+    rf'itemprop="longitude"\s+content="(?P<glon>{_NUM})"'
+)
+TEXT_GEO_RE = rf"geo:\s*(?P<glat>{_NUM}),\s*(?P<glon>{_NUM})"
+SRS_RE = r'<meta\s+name="geo\.srsName"\s+content="(?P<srs>[^"]+)"'
+
+#: precedence order of the extraction chain, each with a cheap substring
+#: marker evaluated first (pc.match_substring is ~10x cheaper than the
+#: regex kernel) so every expensive pass runs only on still-unresolved
+#: rows that can possibly match.
+_CHAIN = (
+    ('"geo.position"', GEO_POSITION_RE),
+    ('"ICBM"', ICBM_RE),
+    ('itemprop="latitude"', MICRODATA_RE),
+    ("geo:", TEXT_GEO_RE),
+)
+
+
+def _extract_pair_at(html: pa.Array, pattern: str, idx: np.ndarray, lat: np.ndarray, lon: np.ndarray):
+    """Run one regex pass on the rows at ``idx`` only, scattering hits."""
+    sub = html.take(pa.array(idx, pa.int64()))
+    st = pc.extract_regex(sub, pattern)
+    plat = pc.cast(pc.struct_field(st, "glat"), pa.float64()).to_numpy(zero_copy_only=False)
+    plon = pc.cast(pc.struct_field(st, "glon"), pa.float64()).to_numpy(zero_copy_only=False)
+    hit = ~np.isnan(plat)
+    lat[idx[hit]] = plat[hit]
+    lon[idx[hit]] = plon[hit]
+
+
+def extract_geo_columns(html: pa.Array):
+    """html (binary/string) column -> (lon, lat, epsg, has_geo) numpy arrays.
+
+    Applies the precedence chain; coordinates from EVERY source are read
+    lat-first and emitted lon-first (axis canonicalization).  srsName meta
+    overrides the EPSG:4326 default; unknown srsName values fall back to
+    4326 rather than poisoning the batch.
+    """
+    if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
+        html = pc.cast(html, pa.string())
+    n = len(html)
+    lat = np.full(n, np.nan)
+    lon = np.full(n, np.nan)
+    for marker, pattern in _CHAIN:
+        need = np.isnan(lat)
+        if not need.any():
+            break
+        may = pc.match_substring(html, marker).to_numpy(zero_copy_only=False)
+        idx = np.nonzero(need & may)[0]
+        if len(idx):
+            _extract_pair_at(html, pattern, idx, lat, lon)
+
+    # CRS resolution: explicit srsName meta ▸ default 4326 (G-06 chain)
+    epsg = np.full(n, 4326, dtype=np.int32)
+    srs_may = pc.match_substring(html, '"geo.srsName"').to_numpy(zero_copy_only=False)
+    sidx = np.nonzero(srs_may)[0]
+    if len(sidx):
+        sub = html.take(pa.array(sidx, pa.int64()))
+        srs = pc.struct_field(pc.extract_regex(sub, SRS_RE), "srs").to_numpy(zero_copy_only=False)
+        uniq = {}
+        for s in set(s for s in srs if s is not None):
+            try:
+                uniq[s] = parse_epsg(str(s))
+            except ValueError:
+                uniq[s] = 4326
+        vals = np.array([uniq.get(s, 4326) if s is not None else 4326 for s in srs], dtype=np.int32)
+        epsg[sidx] = vals
+
+    has_geo = ~np.isnan(lat)
+    return lon, lat, epsg, has_geo
+
+
+def extract_geo_batch(batch: pa.Table, drop_html: bool = True, keep_text: bool = True) -> pa.Table:
+    """map_batches kernel: pages batch -> GEO-schema batch.
+
+    ``html`` is dropped immediately after extraction — the dominant
+    memory win at scale (SURVEY.md §4 memory row).  ``text`` passes
+    through byte-identical when kept; the spatial pipelines drop it too
+    (``keep_text=False``) since only the geometry columns flow onward.
+    """
+    lon, lat, epsg, has_geo = extract_geo_columns(batch.column("html").combine_chunks())
+    out = batch
+    if drop_html:
+        out = out.drop_columns(["html"])
+    if not keep_text and "text" in out.column_names:
+        out = out.drop_columns(["text"])
+    out = out.append_column("lon", pa.array(lon, pa.float64()))
+    out = out.append_column("lat", pa.array(lat, pa.float64()))
+    out = out.append_column("epsg", pa.array(epsg, pa.int32()))
+    out = out.append_column("has_geo", pa.array(has_geo, pa.bool_()))
+    return out

@@ -1,0 +1,198 @@
+"""Curve / surface coordinate-list factories (gml/ package semantics,
+C-01..C-15) over dict-based geometry descriptors.
+
+The reference walks JAXB objects with ``instanceof`` dispatch
+(CurveCoordinateListFactory.java:64-91, SurfaceCoordinateListFactory.java:71-84,
+GeometryCoordinateList.java:25-42); the engine's IR is a plain descriptor:
+
+segment  := {"type": "LineString"|"GeodesicString"|"Arc"|"ArcString",
+             "coords": (N,2) authority-axis-order array}
+          | {"type": "ArcByCenterPoint"|"CircleByCenterPoint",
+             "center": (2,), "radius": float, "radius_uom": str,
+             "start_angle": float|None, "end_angle": float|None}
+curve    := {"kind": "Curve", "segments": [segment...]}
+          | {"kind": "LineString", "coords": ...}
+          | {"kind": "CompositeCurve", "members": [curve...]}
+          | {"kind": "OrientableCurve", "orientation": "+"|"-", "base": curve}
+          | {"kind": "Ring", "members": [curve...]}
+          | {"kind": "LinearRing", "coords": ...}
+surface  := {"kind": "Polygon", "exterior": curve/ring, "interiors": [...]}
+          | {"kind": "Surface", "patches": [{"patch": "Polygon"|"Rectangle"|
+             "Triangle", "exterior": ..., "interiors": [...]}]}
+
+``epsg`` may sit at any level; members inherit the parent's when absent
+(srsName propagation, C-06 / G-07).  Remote ``xlink:href`` members are NOT
+dereferenced (C-08 note: the engine performs no per-record I/O at scale —
+broadcast geometries arrive fully materialized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from georay.geom.arcs import infer_points_on_arc
+
+#: minimum positions per segment type (GmlUtils.minCurveSegmentLength, G-09)
+MIN_SEGMENT_POSITIONS = {
+    "ArcByCenterPoint": 1,
+    "CircleByCenterPoint": 1,
+    "Arc": 3,
+    "ArcString": 3,
+    "Circle": 3,
+    "LineString": 2,
+    "GeodesicString": 2,
+}
+
+
+def _segment_coords(seg: dict, epsg: int) -> np.ndarray:
+    """C-09: per-segment coordinate extraction (CurveSegmentType.java:23-106).
+    All kinds demand a resolved CRS."""
+    if epsg is None:
+        raise ValueError("CRS reference is required for curve segments")
+    t = seg["type"]
+    if t in ("ArcByCenterPoint", "CircleByCenterPoint"):
+        c = np.asarray(seg["center"], dtype=np.float64)
+        return infer_points_on_arc(
+            c[0],
+            c[1],
+            seg["radius"],
+            seg.get("radius_uom", "m"),
+            seg.get("start_angle") if t == "ArcByCenterPoint" else None,
+            seg.get("end_angle") if t == "ArcByCenterPoint" else None,
+            epsg,
+        )
+    coords = np.asarray(seg["coords"], dtype=np.float64).reshape(-1, 2)
+    need = MIN_SEGMENT_POSITIONS.get(t)
+    if need is None:
+        raise ValueError(f"Unsupported curve segment type: {t}")  # C-04 unknown => error
+    if len(coords) < need:
+        raise ValueError(f"{t} segment requires >= {need} positions, got {len(coords)}")
+    return coords
+
+
+def extract_pos_list(values, crs_dim: int) -> np.ndarray:
+    """G-08: flatten a posList value stream -> (N,2), stride = CRS dim,
+    dimensions beyond the second dropped (GmlUtils.java:250-258)."""
+    return np.asarray(values, dtype=np.float64).reshape(-1, int(crs_dim))[:, :2]
+
+
+def curve_coordinate_list(geom: dict, epsg: int | None = None) -> np.ndarray:
+    """C-03 dispatch: any curve descriptor -> concatenated (N,2) coords."""
+    epsg = geom.get("epsg", epsg)
+    kind = geom["kind"]
+    if kind in ("LineString", "LinearRing"):
+        return np.asarray(geom["coords"], dtype=np.float64).reshape(-1, 2)
+    if kind == "Curve":
+        parts = [_segment_coords(s, epsg) for s in geom["segments"]]
+        return np.concatenate(parts) if parts else np.empty((0, 2))
+    if kind == "CompositeCurve":
+        # members inherit the composite's srsName (C-06)
+        parts = [curve_coordinate_list(m, epsg) for m in geom["members"]]
+        return np.concatenate(parts) if parts else np.empty((0, 2))
+    if kind == "OrientableCurve":
+        base = curve_coordinate_list(geom["base"], epsg)
+        return base[::-1].copy() if geom.get("orientation") == "-" else base  # C-07
+    if kind == "Ring":
+        parts = [curve_coordinate_list(m, epsg) for m in geom["members"]]
+        return np.concatenate(parts) if parts else np.empty((0, 2))
+    raise ValueError(f"Unsupported curve kind: {kind}")
+
+
+def _patch_exterior(patch: dict, epsg) -> np.ndarray:
+    return curve_coordinate_list(patch["exterior"], patch.get("epsg", epsg))
+
+
+def _patch_interiors(patch: dict, epsg) -> list[np.ndarray]:
+    # Rectangle / Triangle patches have no interior rings (C-14)
+    if patch.get("patch") in ("Rectangle", "Triangle"):
+        return []
+    return [curve_coordinate_list(r, patch.get("epsg", epsg)) for r in patch.get("interiors", [])]
+
+
+def merge_patch_rings(rings: list[np.ndarray]) -> np.ndarray:
+    """C-11: exterior boundary of a patch union.
+
+    The reference unions patch polygons with JTS
+    (SurfaceCoordinateListFactory.java:196-197); here the union is computed
+    by shared-edge cancellation — adjacent patches in a valid gml:Surface
+    share complete edges, so edges appearing twice (in either direction)
+    are interior and the survivors stitch into the outer ring.  This is
+    exact for edge-adjacent patch complexes (the conformance corpus) and
+    documented as the engine's partitioning assumption for surfaces.
+    """
+    if len(rings) == 1:
+        r = rings[0]
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[0]])
+        return r
+    edges = {}
+    order = []
+    for ring in rings:
+        r = ring
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[0]])
+        for a, b in zip(r[:-1], r[1:]):
+            ka, kb = tuple(a), tuple(b)
+            if ka == kb:
+                continue
+            if (kb, ka) in edges:
+                edges.pop((kb, ka))
+            elif (ka, kb) in edges:
+                edges.pop((ka, kb))  # duplicate same-direction edge also cancels
+            else:
+                edges[(ka, kb)] = True
+                order.append((ka, kb))
+    remaining = [e for e in order if e in edges]
+    if not remaining:
+        return rings[0]
+    nxt = {a: b for a, b in remaining}
+    start = remaining[0][0]
+    out = [start]
+    cur = start
+    for _ in range(len(remaining)):
+        cur = nxt[cur]
+        out.append(cur)
+        if cur == start:
+            break
+    return np.asarray(out, dtype=np.float64)
+
+
+def surface_exterior_boundary(geom: dict, epsg: int | None = None) -> np.ndarray:
+    """C-10/C-11/C-12: exterior boundary coords of a Polygon or Surface."""
+    epsg = geom.get("epsg", epsg)
+    if geom["kind"] == "Polygon":
+        return curve_coordinate_list(geom["exterior"], epsg)
+    if geom["kind"] == "Surface":
+        rings = [_patch_exterior(p, epsg) for p in geom["patches"]]
+        return merge_patch_rings(rings)
+    raise ValueError(f"Unsupported surface kind: {geom['kind']}")
+
+
+def surface_interior_boundaries(geom: dict, epsg: int | None = None) -> list[np.ndarray]:
+    """C-13: the set of interior-ring coordinate lists (holes)."""
+    epsg = geom.get("epsg", epsg)
+    if geom["kind"] == "Polygon":
+        return [curve_coordinate_list(r, epsg) for r in geom.get("interiors", [])]
+    if geom["kind"] == "Surface":
+        out = []
+        for p in geom["patches"]:
+            out.extend(_patch_interiors(p, epsg))
+        return out
+    raise ValueError(f"Unsupported surface kind: {geom['kind']}")
+
+
+def geometry_coordinate_list(geom: dict, epsg: int | None = None) -> np.ndarray:
+    """C-15 top-level dispatch POINT / CURVE / SURFACE
+    (GeometryCoordinateList.java:25-42, GeometryType.java:8-34)."""
+    kind = geom["kind"]
+    if kind == "Point":
+        return np.asarray(geom["coords"], dtype=np.float64).reshape(1, 2)
+    if kind in ("LineString", "Curve", "CompositeCurve", "OrientableCurve", "Ring", "LinearRing"):
+        return curve_coordinate_list(geom, epsg)
+    if kind in ("Polygon", "Surface"):
+        return surface_exterior_boundary(geom, epsg)
+    if kind.startswith("Multi"):
+        # G-07: members inherit the collection's srsName
+        parts = [geometry_coordinate_list(m, geom.get("epsg", epsg)) for m in geom["members"]]
+        return np.concatenate(parts) if parts else np.empty((0, 2))
+    raise ValueError(f"Unsupported geometry kind: {kind}")

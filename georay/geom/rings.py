@@ -1,0 +1,85 @@
+"""Ring normalization kernels (GeodesyUtils.java R-05 / R-06 / R-09).
+
+- :func:`remove_consecutive_duplicates` — ppm-relative dedup with the
+  ring-closure rule (duplicate *last* point removes the next-to-last
+  instead), bit-for-bit with GeodesyUtils.java:283-304.
+- :func:`transform_ring_to_right_handed` — densified ring coords in the
+  source CRS's authority axis order -> right-handed (x=east) coords,
+  optionally deduped @1ppm (GeodesyUtils.java:144-209).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from georay.crs.identifiers import axis_order_latlon
+from georay.crs.projections import transformer
+
+
+def _is_dup(prev: np.ndarray, nxt: np.ndarray, tol: float) -> bool:
+    # relative comparison: |next/prev - 1| <= tol per ordinate
+    # (GeodesyUtils.java:291-293); division by zero -> inf (not a dup),
+    # matching Java double semantics.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        delta = np.abs(nxt / prev - 1.0)
+    delta = np.where(np.isnan(delta), np.where(nxt == prev, 0.0, np.inf), delta)
+    return bool(np.all(delta <= tol))
+
+
+def remove_consecutive_duplicates(coords: np.ndarray, tolerance_ppm: float) -> np.ndarray:
+    """Drop P(n+1) when it equals P(n) within tolerance; if the duplicate is
+    the LAST point, drop P(n) instead to preserve ring closure.
+
+    Sequential by definition (each comparison is against the last *kept*
+    point); rings are small (SURVEY.md §7.4), and the vectorized adjacent
+    check below short-circuits the common no-duplicate case.
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    n = len(coords)
+    if n < 2:
+        return coords.copy()
+    tol = tolerance_ppm * 1e-6
+    # fast path: no adjacent pair is within tolerance -> nothing to remove
+    with np.errstate(divide="ignore", invalid="ignore"):
+        deltas = np.abs(coords[1:] / coords[:-1] - 1.0)
+    deltas = np.where(np.isnan(deltas), np.where(coords[1:] == coords[:-1], 0.0, np.inf), deltas)
+    if not np.any(np.all(deltas <= tol, axis=1)):
+        return coords.copy()
+
+    out = list(coords)
+    i = 1
+    while i < len(out):
+        if _is_dup(out[i - 1], out[i], tol):
+            if i == len(out) - 1:
+                # duplicate last point: remove next-to-last, keep closure
+                # (GeodesyUtils.java:294-297)
+                del out[len(out) - 2]
+                break
+            del out[i]
+        else:
+            i += 1
+    return np.asarray(out, dtype=np.float64)
+
+
+def transform_ring_to_right_handed(
+    coords: np.ndarray, epsg: int, keep_all_coords: bool = False, dst_epsg: int | None = None
+) -> np.ndarray:
+    """Ring coords (authority axis order of ``epsg``) -> right-handed CS.
+
+    For geographic lat-first CRSs this is the lat,lon -> lon,lat column
+    swap (AxesConvention.RIGHT_HANDED); projected CRSs are already
+    right-handed.  Unless ``keep_all_coords``, consecutive duplicates are
+    removed at 1 ppm — the R-05 vs R-06 split the reference fixtures pin
+    to 7 vs 9 coords (VerifyGeodesyUtils.java:135,163).
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    if axis_order_latlon(int(epsg)):
+        out = coords[:, ::-1].copy()  # lat,lon -> lon,lat
+    else:
+        out = coords.copy()
+    if dst_epsg is not None and int(dst_epsg) != int(epsg):
+        x, y = transformer(int(epsg), int(dst_epsg)).transform(out[:, 0], out[:, 1])
+        out = np.column_stack([x, y])
+    if not keep_all_coords:
+        out = remove_consecutive_duplicates(out, 1.0)
+    return out

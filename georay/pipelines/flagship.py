@@ -1,0 +1,88 @@
+"""Flagship pipeline: read -> extract -> reproject -> cellize -> spatial
+join -> salted per-cell aggregate -> (optional) partitioned write.
+
+This is the end-to-end path BASELINE.md's throughput metric measures
+(docs/sec over the CC-style pages table) and the one ``__ray_entry__.entry``
+smoke-runs at sf0.001.  Every stage is a streaming ``map_batches`` over
+zero-copy Arrow; only the final per-cell merge shuffles, and its input is
+already combined down to one row per (block, cell).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+
+from georay.pipelines.pages import read_pages
+from georay.pipelines.polygons import polygon_payload
+from georay.stages.aggregate import cell_partial_agg, final_cell_agg
+from georay.stages.geo import Reproject, cellize, extract_geo_batch, filter_has_geo
+from georay.stages.join import SpatialJoinActor
+
+
+def geo_dataset(sf_dir: str, res: int = 7, override_num_blocks: int | None = None):
+    """pages -> extracted+harmonized+cellized point dataset (lon/lat 4326).
+
+    ``text`` is dropped at the extraction edge: the spatial path only
+    carries (url, warc_ts, lang, doc_id, lon, lat, epsg, cell).
+    """
+    ds = read_pages(sf_dir, override_num_blocks=override_num_blocks)
+    ds = ds.map_batches(
+        lambda b: extract_geo_batch(b, keep_text=False), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(filter_has_geo, batch_format="pyarrow")
+    ds = ds.map_batches(Reproject(4326), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: cellize(b, res), batch_format="pyarrow")
+    return ds
+
+
+def flagship(
+    sf_dir: str,
+    res: int = 7,
+    predicate: str = "INTERSECTS",
+    join_concurrency: int | None = None,
+    out_dir: str | None = None,
+    materialize_geo: bool = True,
+):
+    """Run the full pipeline; returns (join_rows_ds, cell_agg_ds).
+
+    The polygon side is broadcast once (``ray.put``) and indexed per
+    actor; the aggregate is partial-combined inside map_batches before
+    the groupby (skew defence, stages/aggregate.py).
+
+    The geo dataset (the per-document tile assignment — a required output
+    of the engine) feeds BOTH the join and the aggregate; it is computed
+    once and pinned (materialized in-memory here; ``out_dir`` mode writes
+    it as the ``tiles`` parquet instead) rather than re-deriving the
+    whole extract chain per consumer.
+    """
+    geo = geo_dataset(sf_dir, res=res)
+    if out_dir:
+        geo.write_parquet(f"{out_dir}/tiles")
+        import ray.data as rd
+
+        geo = rd.read_parquet(f"{out_dir}/tiles")
+    elif materialize_geo:
+        geo = geo.materialize()
+
+    payload_ref = ray.put(polygon_payload())
+    join_kwargs = dict(
+        fn_constructor_kwargs={"polygons": payload_ref, "predicate": predicate},
+        batch_format="pyarrow",
+        batch_size=8192,
+        # autoscaling actor pool; actors build the polygon index once in
+        # __init__ and Ray sizes the pool to the cluster
+        concurrency=join_concurrency or (1, 8),
+    )
+    joined = geo.map_batches(SpatialJoinActor, **join_kwargs)
+
+    agg = final_cell_agg(geo.map_batches(cell_partial_agg, batch_format="pyarrow"))
+
+    if out_dir:
+        joined.write_parquet(f"{out_dir}/join_rows")
+        agg.write_parquet(f"{out_dir}/cell_agg")
+        import ray.data as rd
+
+        return rd.read_parquet(f"{out_dir}/join_rows"), rd.read_parquet(f"{out_dir}/cell_agg")
+    return joined, agg

@@ -1,0 +1,137 @@
+"""Per-cell aggregation: partial (combiner) + final, with hot-key salting.
+
+SURVEY.md §2.8: the per-cell aggregate is THE wide shuffle.  Design:
+
+1. ``cell_partial_agg`` runs inside ``map_batches`` and combines each
+   batch down to one row per distinct cell (pyarrow C++ group_by) —
+   min/max/count/sum are re-mergeable partials (SURVEY.md §7.4), so the
+   subsequent ``groupby("cell")`` reduce sees at most
+   ``#blocks × cells_per_block`` rows instead of every document.  This
+   bounds hot-cell (dense urban tile) fan-in to #blocks regardless of
+   row skew — the combiner IS the primary skew defence.
+2. The final ``Dataset.groupby("cell").aggregate(...)`` merges partials.
+3. For aggregates that are NOT re-mergeable (``map_groups`` UDFs), use
+   :func:`salt_column` to split hot cells into ``(cell, salt)`` subgroups
+   and merge the S partials per cell afterwards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def cell_partial_agg(batch: pa.Table) -> pa.Table:
+    """Batch -> one partial row per distinct cell:
+    (cell, n_docs, minlon, minlat, maxlon, maxlat, t_min, t_max).
+
+    The envelope partial is A-01's expand-to-include loop as min/max
+    (Extents.java:73-120); the temporal partial feeds T-04.
+    """
+    t = batch.select(["cell", "lon", "lat", "warc_ts"])
+    g = t.group_by("cell").aggregate(
+        [
+            ("cell", "count"),
+            ("lon", "min"),
+            ("lat", "min"),
+            ("lon", "max"),
+            ("lat", "max"),
+            ("warc_ts", "min"),
+            ("warc_ts", "max"),
+        ]
+    )
+    return g.rename_columns(
+        ["cell", "n_docs", "minlon", "minlat", "maxlon", "maxlat", "t_min", "t_max"]
+    )
+
+
+def merge_cell_partials(batch: pa.Table) -> pa.Table:
+    """Associative+commutative merge of partial rows (pyarrow C++ group_by):
+    safe to apply per block at any tree level regardless of row placement."""
+    g = batch.group_by("cell").aggregate(
+        [
+            ("n_docs", "sum"),
+            ("minlon", "min"),
+            ("minlat", "min"),
+            ("maxlon", "max"),
+            ("maxlat", "max"),
+            ("t_min", "min"),
+            ("t_max", "max"),
+        ]
+    )
+    return g.rename_columns(
+        ["cell", "n_docs", "minlon", "minlat", "maxlon", "maxlat", "t_min", "t_max"]
+    )
+
+
+def final_cell_agg(ds, mode: str = "tree", fanout: int = 8):
+    """Merge partials per cell -> final per-cell rows.
+
+    mode="tree" (default): per-block pyarrow merge, coalesce to ``fanout``
+    blocks, merge again, coalesce to 1, final merge.  All merging is C++
+    group_by; the only data movement is two repartitions of already-merged
+    (small) partials.  Orders of magnitude cheaper than a sort-based
+    shuffle when the number of distinct cells is moderate (<= a few
+    million — tile grids qualify).
+
+    mode="groupby": Ray's sort-based ``groupby().aggregate`` — the scale
+    path when distinct-key cardinality is too large for a single final
+    merge task.
+    """
+    if mode == "tree":
+        merged = ds.map_batches(merge_cell_partials, batch_format="pyarrow", batch_size=None)
+        merged = merged.repartition(fanout).map_batches(
+            merge_cell_partials, batch_format="pyarrow", batch_size=None
+        )
+        merged = merged.repartition(1).map_batches(
+            merge_cell_partials, batch_format="pyarrow", batch_size=None
+        )
+        return merged
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return ds.groupby("cell").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Min("minlon", alias_name="minlon"),
+        Min("minlat", alias_name="minlat"),
+        Max("maxlon", alias_name="maxlon"),
+        Max("maxlat", alias_name="maxlat"),
+        Min("t_min", alias_name="t_min"),
+        Max("t_max", alias_name="t_max"),
+    )
+
+
+def salt_column(key: np.ndarray, ids: np.ndarray, hot_keys: dict, default_salt: int = 1) -> np.ndarray:
+    """Compute a salt in [0, S(key)) per row: hot keys fan out to S
+    subgroups (S from a sampled histogram), cold keys get salt 0.
+
+    Used when the per-group computation is a ``map_groups`` UDF rather
+    than a re-mergeable aggregate; the caller groups by (key, salt) and
+    then merges the per-salt partials per key (SURVEY.md §4 skew row).
+    """
+    salt = np.zeros(len(key), dtype=np.int32)
+    if hot_keys:
+        h = (ids * np.int64(0x9E3779B97F4A7C15)) >> np.int64(33)
+        for k, s in hot_keys.items():
+            m = key == k
+            salt[m] = (h[m] % np.int64(max(default_salt, s))).astype(np.int32)
+    return salt
+
+
+def sample_hot_cells(ds, threshold_frac: float = 0.02, sample_frac: float = 0.01, target_salt: int = 8):
+    """Sample the cell histogram and return {cell: salt_factor} for cells
+    holding more than ``threshold_frac`` of sampled rows (SURVEY.md §4)."""
+    sample = ds.random_sample(sample_frac) if sample_frac < 1.0 else ds
+    counts = {}
+    total = 0
+    for b in sample.map_batches(
+        lambda t: t.select(["cell"]).group_by("cell").aggregate([("cell", "count")]),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        for cell, n in zip(b.column("cell").to_pylist(), b.column("cell_count").to_pylist()):
+            counts[cell] = counts.get(cell, 0) + n
+            total += n
+    if not total:
+        return {}
+    return {c: target_salt for c, n in counts.items() if n / total >= threshold_frac}

@@ -1,0 +1,295 @@
+"""Broadcast spatial-join / DWithin / kNN actor stages (P-01..P-05).
+
+The big (page) side streams through an actor pool; the small (polygon /
+reference-point) side is broadcast once via ``ray.put`` and materialized
+into per-actor state in ``__init__`` (STRtree-analog PolygonSet / sorted
+cell arrays), so nothing but the batch crosses the wire per call —
+SURVEY.md §2.1 P-01 and §2.8: the join shuffles NOTHING.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from georay import cells
+from georay.crs.geodesy import haversine_m, orthodromic_distance
+from georay.pipelines.polygons import build_polygon_set
+
+
+def _resolve(payload_or_ref):
+    if isinstance(payload_or_ref, ray.ObjectRef):
+        return ray.get(payload_or_ref)
+    return payload_or_ref
+
+
+#: per-worker-process cache of built broadcast-side indexes, keyed by the
+#: ObjectRef hex of the payload — task workers are long-lived, so the
+#: STRtree-analog is built once per (worker, payload) like actor state,
+#: without paying an actor-pool spawn per pipeline run.
+_PSET_CACHE: dict = {}
+
+
+def make_spatial_join_fn(payload_ref, predicate: str = "INTERSECTS", keep_cols=("doc_id", "url")):
+    """Task-path broadcast join: returns a plain ``map_batches`` function.
+
+    Preferred over :class:`SpatialJoinActor` when the broadcast side is
+    small/cheap to index (the common case): plain tasks reuse warm worker
+    processes and the payload is fetched zero-copy from the local object
+    store once per worker.  Use the actor class when index construction
+    is genuinely expensive.
+    """
+    predicate = predicate.upper()
+    keep_cols = list(keep_cols)
+    key = payload_ref.hex() if isinstance(payload_ref, ray.ObjectRef) else id(payload_ref)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        entry = _PSET_CACHE.get(key)
+        if entry is None:
+            pset = build_polygon_set(_resolve(payload_ref))
+            ids = np.asarray([p.polygon_id for p in pset.polygons], dtype=object)
+            entry = _PSET_CACHE[key] = (pset, ids)
+        pset, poly_ids = entry
+        px = batch.column("lon").to_numpy()
+        py = batch.column("lat").to_numpy()
+        pt_idx, poly_idx = pset.join(px, py, predicate)
+        arrs = {}
+        take = pa.array(pt_idx, pa.int64())
+        for col in keep_cols:
+            arrs[col] = batch.column(col).take(take)
+        arrs["polygon_id"] = pa.array(poly_ids[poly_idx], pa.string())
+        arrs["predicate"] = pa.array([predicate] * len(pt_idx), pa.string())
+        return pa.table(arrs)
+
+    return join_batch
+
+
+class SpatialJoinActor:
+    """``map_batches`` actor: point batch x broadcast polygons -> join rows.
+
+    predicate ∈ SpatialOperator vocabulary (SpatialOperator.java:16-20):
+    INTERSECTS / DISJOINT / WITHIN / CONTAINS / TOUCHES / BBOX / EQUALS /
+    CROSSES / OVERLAPS.  Emits one output row per matching (doc, polygon)
+    pair, carrying the requested passthrough columns.
+    """
+
+    def __init__(self, polygons, predicate: str = "INTERSECTS", keep_cols=("doc_id", "url")):
+        self.pset = build_polygon_set(_resolve(polygons))
+        self.predicate = predicate.upper()
+        self.keep_cols = list(keep_cols)
+        self.poly_ids = np.asarray([p.polygon_id for p in self.pset.polygons], dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch.column("lon").to_numpy()
+        py = batch.column("lat").to_numpy()
+        pt_idx, poly_idx = self.pset.join(px, py, self.predicate)
+        arrs = {}
+        take = pa.array(pt_idx, pa.int64())
+        for col in self.keep_cols:
+            arrs[col] = batch.column(col).take(take)
+        arrs["polygon_id"] = pa.array(self.poly_ids[poly_idx], pa.string())
+        arrs["predicate"] = pa.array([self.predicate] * len(pt_idx), pa.string())
+        return pa.table(arrs)
+
+
+class DWithinJoinActor:
+    """P-04/P-05: orthodromic DWithin / Beyond join against broadcast polygons.
+
+    Two-step kernel exactly as TopologicalRelationships.java:149-179:
+    (1) planar nearest point on the polygon (DistanceOp analog) in the
+    common CRS, (2) *orthodromic* Vincenty distance between the point and
+    that nearest point, compared against the uom-normalized threshold.
+    ``beyond=True`` negates (P-05).  A bbox pre-filter expanded by the
+    degree-equivalent of the threshold bounds the candidate set.
+    """
+
+    def __init__(self, polygons, distance_m: float, beyond: bool = False, keep_cols=("doc_id", "url")):
+        self.pset = build_polygon_set(_resolve(polygons))
+        self.distance_m = float(distance_m)
+        self.beyond = bool(beyond)
+        self.keep_cols = list(keep_cols)
+        self.poly_ids = np.asarray([p.polygon_id for p in self.pset.polygons], dtype=object)
+        # 1 deg latitude >= ~110.57 km everywhere; pad bboxes conservatively
+        self.pad_deg = self.distance_m / 110_570.0 * 1.05
+
+    def _within(self, px, py):
+        """(point_idx, poly_idx) pairs with orthodromic distance < threshold."""
+        out_pt, out_poly, out_dist = [], [], []
+        for pid, poly in enumerate(self.pset.polygons):
+            minx, miny, maxx, maxy = poly.bbox
+            pad_lon = self.pad_deg / max(0.087, np.cos(np.radians(np.clip((miny + maxy) / 2, -85, 85))))
+            cand = np.nonzero(
+                (px >= minx - pad_lon)
+                & (px <= maxx + pad_lon)
+                & (py >= miny - self.pad_deg)
+                & (py <= maxy + self.pad_deg)
+            )[0]
+            if len(cand) == 0:
+                continue
+            interior, boundary = poly.locate(px[cand], py[cand])
+            nx, ny, _ = poly.nearest_on_boundary(px[cand], py[cand])
+            dist = orthodromic_distance(py[cand], px[cand], ny, nx)
+            dist = np.where(interior | boundary, 0.0, dist)
+            ok = dist < self.distance_m
+            out_pt.append(cand[ok])
+            out_poly.append(np.full(int(ok.sum()), pid, dtype=np.int64))
+            out_dist.append(dist[ok])
+        if not out_pt:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, np.empty(0)
+        return np.concatenate(out_pt), np.concatenate(out_poly), np.concatenate(out_dist)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch.column("lon").to_numpy()
+        py = batch.column("lat").to_numpy()
+        pt_idx, poly_idx, dist = self._within(px, py)
+        if self.beyond:
+            # Beyond = NOT DWithin for every (point, polygon) pair (P-05)
+            hit = np.zeros((len(px), len(self.pset.polygons)), dtype=bool)
+            hit[pt_idx, poly_idx] = True
+            pt_idx, poly_idx = np.nonzero(~hit)
+            dist = np.full(len(pt_idx), np.nan)
+        arrs = {}
+        take = pa.array(pt_idx, pa.int64())
+        for col in self.keep_cols:
+            arrs[col] = batch.column(col).take(take)
+        arrs["polygon_id"] = pa.array(self.poly_ids[poly_idx], pa.string())
+        arrs["distance_m"] = pa.array(dist, pa.float64())
+        return pa.table(arrs)
+
+
+class KNNJoinActor:
+    """kNN join: each page point -> its k nearest broadcast reference points,
+    via cell-neighbourhood expansion (north_star: ``grid_disk`` rings until
+    >= k candidates, then exact distances + per-row top-k).
+
+    The broadcast side is a small table of reference points
+    ``(ref_id, lon, lat)`` put once via ``ray.put``; per-actor state is the
+    cell-sorted candidate arrays at an index resolution sized so one ring
+    step covers a sensible distance.  Distances are great-circle
+    (haversine) by default or orthodromic (Vincenty) when ``exact=True``
+    — the P-04 distance semantic.
+    """
+
+    #: below this many reference points the cell index buys nothing —
+    #: a dense vectorized distance matrix is both faster and exactly
+    #: order-deterministic (ties broken by ref_id, matching the oracle)
+    BRUTE_FORCE_THRESHOLD = 4096
+
+    def __init__(self, ref_points, k: int = 3, index_res: int = 5, exact: bool = True, keep_cols=("doc_id",)):
+        refs = _resolve(ref_points)
+        self.ref_ids = np.asarray(refs["ref_id"])
+        self.ref_lon = np.asarray(refs["lon"], dtype=np.float64)
+        self.ref_lat = np.asarray(refs["lat"], dtype=np.float64)
+        rid_order = np.argsort(self.ref_ids, kind="stable")
+        self.ref_ids = self.ref_ids[rid_order]
+        self.ref_lon = self.ref_lon[rid_order]
+        self.ref_lat = self.ref_lat[rid_order]
+        self.k = int(k)
+        self.exact = bool(exact)
+        self.index_res = int(index_res)
+        self.keep_cols = list(keep_cols)
+        self.brute = len(self.ref_ids) <= self.BRUTE_FORCE_THRESHOLD
+        ref_cells = cells.latlng_to_cell(self.ref_lat, self.ref_lon, self.index_res)
+        order = np.argsort(ref_cells, kind="stable")
+        self._cells_sorted = ref_cells[order]
+        self._order = order
+        n = 1 << self.index_res
+        self._grid_n = n
+
+    def _candidates_for_cell(self, cell: int, k_ring: int) -> np.ndarray:
+        disk = cells.grid_disk(int(cell), k_ring)
+        lo = np.searchsorted(self._cells_sorted, disk, side="left")
+        hi = np.searchsorted(self._cells_sorted, disk, side="right")
+        if (hi - lo).sum() == 0:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate([self._order[a:b] for a, b in zip(lo, hi) if b > a])
+
+    def _brute_force(self, px, py):
+        """Dense top-k: (n, K) distance matrix, rank by (distance, ref_id)."""
+        dfun = orthodromic_distance if self.exact else haversine_m
+        d = dfun(py[:, None], px[:, None], self.ref_lat[None, :], self.ref_lon[None, :])
+        kk = min(self.k, d.shape[1])
+        # stable sort by distance; ref arrays are kept in ref_id order so
+        # equal distances resolve to the smaller ref_id (oracle tie-break)
+        topk = np.argsort(d, axis=1, kind="stable")[:, :kk]
+        rows = np.arange(d.shape[0])[:, None]
+        dk = d[rows, topk]
+        pt_idx = np.repeat(np.arange(len(px), dtype=np.int64), kk)
+        return pt_idx, topk.ravel(), dk.ravel(), np.tile(np.arange(1, kk + 1), len(px))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch.column("lon").to_numpy()
+        py = batch.column("lat").to_numpy()
+        if self.brute:
+            pt_idx, ref_idx, dist, rank = self._brute_force(px, py)
+            arrs = {}
+            take = pa.array(pt_idx, pa.int64())
+            for col in self.keep_cols:
+                arrs[col] = batch.column(col).take(take)
+            arrs["ref_id"] = pa.array(self.ref_ids[ref_idx])
+            arrs["rank"] = pa.array(np.asarray(rank, dtype=np.int64), pa.int64())
+            arrs["distance_m"] = pa.array(dist, pa.float64())
+            return pa.table(arrs)
+        pcell = cells.latlng_to_cell(py, px, self.index_res)
+
+        out_pt = []
+        out_ref = []
+        out_dist = []
+        out_rank = []
+        # group points by cell: one candidate lookup per distinct cell
+        order = np.argsort(pcell, kind="stable")
+        bounds = np.nonzero(np.diff(pcell[order]))[0] + 1
+        groups = np.split(order, bounds)
+        max_ring = self._grid_n  # expanding past the whole grid is exhaustive
+        for grp in groups:
+            if len(grp) == 0:
+                continue
+            cell = int(pcell[grp[0]])
+            ring = 1
+            cand = self._candidates_for_cell(cell, ring)
+            # expand until >= k candidates, +1 safety ring so a neighbour
+            # just outside the current disk can't be missed
+            while len(cand) < self.k and ring < max_ring:
+                ring *= 2
+                cand = self._candidates_for_cell(cell, ring)
+            if ring < max_ring:
+                cand = self._candidates_for_cell(cell, ring + 1)
+            if len(cand) == 0:
+                continue
+            dfun = orthodromic_distance if self.exact else haversine_m
+            d = dfun(
+                py[grp][:, None], px[grp][:, None], self.ref_lat[cand][None, :], self.ref_lon[cand][None, :]
+            )
+            kk = min(self.k, d.shape[1])
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            rows = np.arange(d.shape[0])[:, None]
+            dk = d[rows, part]
+            srt = np.argsort(dk, axis=1, kind="stable")
+            topk = part[rows, srt]
+            dk = dk[rows, srt]
+            out_pt.append(np.repeat(grp, kk))
+            out_ref.append(cand[topk].ravel())
+            out_dist.append(dk.ravel())
+            out_rank.append(np.tile(np.arange(1, kk + 1), len(grp)))
+
+        if out_pt:
+            pt_idx = np.concatenate(out_pt)
+            ref_idx = np.concatenate(out_ref)
+            dist = np.concatenate(out_dist)
+            rank = np.concatenate(out_rank)
+        else:
+            pt_idx = np.empty(0, dtype=np.int64)
+            ref_idx = np.empty(0, dtype=np.int64)
+            dist = np.empty(0)
+            rank = np.empty(0, dtype=np.int64)
+        arrs = {}
+        take = pa.array(pt_idx, pa.int64())
+        for col in self.keep_cols:
+            arrs[col] = batch.column(col).take(take)
+        arrs["ref_id"] = pa.array(self.ref_ids[ref_idx])
+        arrs["rank"] = pa.array(rank.astype(np.int64), pa.int64())
+        arrs["distance_m"] = pa.array(dist, pa.float64())
+        return pa.table(arrs)

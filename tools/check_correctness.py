@@ -1,0 +1,98 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry and its ``oracle_sql()`` twin on the same
+sf dir, compares row count, column names, and an order-insensitive value
+hash (rows sorted by all columns, columns sorted by name).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+import ray
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = normalize(to_pandas(fn(sf_dir)))
+        except Exception as ex:
+            print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows={len(got)})")
+            continue
+        try:
+            want = normalize(con.execute(oracles[name]).df())
+        except Exception as ex:
+            print(f"FAIL {name}: oracle raised {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        ok_rows = len(got) == len(want)
+        ok_cols = list(got.columns) == list(want.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                gv = got.reset_index(drop=True)
+                wv = want.reset_index(drop=True)
+                wv = wv.astype(gv.dtypes.to_dict(), errors="ignore")
+                ok_vals = gv.equals(wv)
+                if not ok_vals:
+                    # tolerate dtype-only mismatches by comparing as strings
+                    ok_vals = gv.astype(str).equals(wv.astype(str))
+            except Exception:
+                ok_vals = False
+        status = "OK  " if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{status} {name}: rows {len(got)}/{len(want)} cols_match={ok_cols} vals_match={ok_vals}")
+        if not ok_cols:
+            print(f"     got cols:  {list(got.columns)}\n     want cols: {list(want.columns)}")
+        if ok_rows and ok_cols and not ok_vals:
+            neq = (got.astype(str) != want.astype(str)).any(axis=1)
+            print("     first diffs:")
+            print(pd.concat([got[neq].head(3).add_suffix("_got"), want[neq].head(3).add_suffix("_want")], axis=1).to_string())
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    code = main()
+    ray.shutdown()
+    sys.exit(code)
