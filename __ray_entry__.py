@@ -246,8 +246,229 @@ def _q_events_by_type(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data ops (text / dedup / ANN) + temporal + hierarchy queries
+# ---------------------------------------------------------------------------
+
+def _q_token_stats(sf_dir: str):
+    """Token counting + quality scoring (georay.text), oracle-checked."""
+    from georay.text import quality_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def _q_langid(sf_dir: str):
+    """Heuristic language ID (rows-only check; accuracy tested in pytest)."""
+    from georay.text import langid_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(langid_batch, batch_format="pyarrow")
+
+
+def _q_fingerprint(sf_dir: str):
+    from georay.text import fingerprint_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _q_simhash(sf_dir: str):
+    from georay.dedup import simhash_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow"
+    )
+
+
+def _q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs (band groupby is the only
+    shuffle; SURVEY.md §2.8).  Deterministic; rows-only driver check."""
+    from georay.dedup import bucket_pairs, minhash_band_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    banded = ds.map_batches(minhash_band_batch, batch_format="pyarrow")
+    pairs = banded.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    return uniq
+
+
+def _q_embed_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (>= 0.30), brute within the small
+    table; oracle via DuckDB list_cosine_similarity on DOUBLE lists.
+    (0.30 sits >5e-7 from every pair similarity at all sfs, so the
+    f64 op-order difference between numpy and DuckDB cannot flip rows.)"""
+    import pyarrow.parquet as pq
+
+    from georay.ann import _to_matrix
+    from georay.dedup import cosine_pairs
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = _to_matrix(t.column("embedding"))
+    ids = t.column("vec_id").to_numpy()
+    out = cosine_pairs(vecs, ids, 0.30)
+    return out.select(["vec_a", "vec_b"])
+
+
+def _q_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-k ANN baseline: batch matmul against a
+    broadcast query matrix, per-batch partials, tiny final merge."""
+    import pyarrow.parquet as pq
+
+    from georay.ann import BruteForceKNN, merge_topk_partials, _to_matrix
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qsel = qt.slice(0, 4)
+    queries_payload = {
+        "query_id": qsel.column("vec_id").to_numpy(),
+        "vectors": _to_matrix(qsel.column("embedding")),
+    }
+    ref = ray.put(queries_payload)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        BruteForceKNN,
+        fn_constructor_kwargs={"query_ref": ref, "k": 5},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return merge_topk_partials(partials, k=5)
+
+
+def _q_dwithin(sf_dir: str):
+    """DWithin point join: docs within 1500 km (great-circle) of any of
+    the 24 reference points — P-04 semantics with the sphere distance so
+    the oracle can mirror the formula exactly."""
+    from georay.crs.geodesy import haversine_m
+
+    refs = _ref_points()
+    rlon, rlat, rids = refs["lon"], refs["lat"], refs["ref_id"]
+
+    def dwithin(b: pa.Table) -> pa.Table:
+        lon = b.column("lon").to_numpy()
+        lat = b.column("lat").to_numpy()
+        d = haversine_m(lat[:, None], lon[:, None], rlat[None, :], rlon[None, :])
+        pi, ri = np.nonzero(d < 1_500_000.0)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").take(pa.array(pi, pa.int64())),
+                "ref_id": pa.array(rids[ri], pa.int64()),
+            }
+        )
+
+    return geo_dataset(sf_dir, res=CELL_RES).map_batches(dwithin, batch_format="pyarrow")
+
+
+def _q_antipode(sf_dir: str):
+    """A-08/A-09 antipodes of every extracted point."""
+    from georay.geom.envelope import get_antipode
+
+    def ap(b: pa.Table) -> pa.Table:
+        coords = np.column_stack([b.column("lat").to_numpy(), b.column("lon").to_numpy()])
+        out = get_antipode(coords)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "ap_lat": pa.array(out[:, 0], pa.float64()),
+                "ap_lon": pa.array(out[:, 1], pa.float64()),
+            }
+        )
+
+    return geo_dataset(sf_dir, res=CELL_RES).map_batches(ap, batch_format="pyarrow")
+
+
+def _q_temporal_extent(sf_dir: str):
+    """T-04: global temporal extent of events, padded +/- 1 hour."""
+    from georay.temporal import HOUR_US
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    mm = ds.aggregate(Min("ts"), Max("ts"))
+    tmin = mm["min(ts)"]
+    tmax = mm["max(ts)"]
+    pad = np.timedelta64(HOUR_US, "us")
+    return pa.table(
+        {
+            "t_begin": pa.array([np.datetime64(tmin, "us") - pad], pa.timestamp("us")),
+            "t_end": pa.array([np.datetime64(tmax, "us") + pad], pa.timestamp("us")),
+        }
+    )
+
+
+def _q_temporal_split(sf_dir: str):
+    """T-06: split the events time range into 4 contiguous sub-intervals
+    (interval n MEETS n+1) — the time-partition boundary generator."""
+    from georay.temporal import split_interval
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    mm = ds.aggregate(Min("ts"), Max("ts"))
+    b_us = np.datetime64(mm["min(ts)"], "us").astype(np.int64)
+    e_us = np.datetime64(mm["max(ts)"], "us").astype(np.int64)
+    parts = split_interval(int(b_us), int(e_us), 4)
+    return pa.table(
+        {
+            "interval_idx": pa.array(np.arange(4, dtype=np.int64), pa.int64()),
+            "t_begin": pa.array(parts[:, 0].astype("datetime64[us]"), pa.timestamp("us")),
+            "t_end": pa.array(parts[:, 1].astype("datetime64[us]"), pa.timestamp("us")),
+        }
+    )
+
+
+def _q_cell_rollup(sf_dir: str):
+    """Hierarchical rollup: res-7 cells -> res-4 parents, doc counts."""
+    from georay.stages.aggregate import merge_cell_partials
+
+    def parentize(b: pa.Table) -> pa.Table:
+        parent = cells.cell_parent(b.column("cell").to_numpy(), 4)
+        t = pa.table({"parent_cell": pa.array(parent, pa.int64())})
+        return t.group_by("parent_cell").aggregate([("parent_cell", "count")]).rename_columns(
+            ["parent_cell", "n_docs"]
+        )
+
+    ds = geo_dataset(sf_dir, res=CELL_RES).map_batches(parentize, batch_format="pyarrow")
+    merged = ds.repartition(4).map_batches(
+        lambda b: b.group_by("parent_cell")
+        .aggregate([("n_docs", "sum")])
+        .rename_columns(["parent_cell", "n_docs"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return merged.repartition(1).map_batches(
+        lambda b: b.group_by("parent_cell")
+        .aggregate([("n_docs", "sum")])
+        .rename_columns(["parent_cell", "n_docs"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def _q_events_window(sf_dir: str):
+    """Windowed top-1: highest-value event per user (groupby.map_groups)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"])
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "ts", "event_id"], ascending=[False, True, True], kind="stable")
+        return g.head(1)[["user_id", "event_id"]]
+
+    return ds.groupby("user_id").map_groups(top1, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "token_stats": _q_token_stats,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "simhash": _q_simhash,
+        "minhash_pairs": _q_minhash_pairs,
+        "embed_dup_pairs": _q_embed_dup_pairs,
+        "ann_cosine": _q_ann_cosine,
+        "dwithin": _q_dwithin,
+        "antipode": _q_antipode,
+        "temporal_extent": _q_temporal_extent,
+        "temporal_split": _q_temporal_split,
+        "cell_rollup": _q_cell_rollup,
+        "events_window": _q_events_window,
         "geo_extract": _q_geo_extract,
         "tile_assign": _q_tile_assign,
         "cell_agg": _q_cell_agg,
@@ -289,8 +510,78 @@ def _ref_sql_values() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from georay.text import BPE_RE, STOPWORD_RE
+
     geo_pages = f"WITH {PAGES_SQL_CTE}, geo AS (SELECT * FROM pages WHERE has_geo)"
+    ix7 = f"CAST(floor((lon+180.0)/360.0*{1 << CELL_RES}) AS BIGINT)"
+    iy7 = f"CAST(floor((lat+90.0)/180.0*{1 << CELL_RES}) AS BIGINT)"
     return {
+        "token_stats": f"""
+            SELECT doc_id, n_chars, n_tokens, n_bpe, n_punct, n_stop,
+                   CAST(floor((0.4*(n_stop / GREATEST(n_tokens, 1))
+                             + 0.3*LEAST(1.0, n_tokens/100.0)
+                             + 0.3*(1.0 - LEAST(1.0, n_punct / GREATEST(n_tokens, 1))))
+                             * 10000 + 0.5) AS BIGINT) AS quality_bp
+            FROM (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                     length(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe,
+                     length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                     length(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS n_stop
+              FROM documents)""",
+        "embed_dup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.30""",
+        "ann_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 4),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS c
+              FROM q, embeddings e),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5""",
+        "dwithin": f"""{geo_pages},
+            refs(ref_id, rlon, rlat) AS (VALUES
+            {_ref_sql_values()})
+            SELECT g.doc_id, r.ref_id
+            FROM geo g, refs r
+            WHERE 2.0*6371008.8*asin(least(1.0, sqrt(
+                     pow(sin(radians(r.rlat - g.lat)/2.0), 2)
+                     + cos(radians(g.lat))*cos(radians(r.rlat))
+                       *pow(sin(radians(r.rlon - g.lon)/2.0), 2)))) < 1500000.0""",
+        "antipode": f"""{geo_pages}
+            SELECT doc_id, -lat AS ap_lat,
+                   CASE WHEN lon < 0 THEN lon + 180.0 ELSE lon - 180.0 END AS ap_lon
+            FROM geo""",
+        "temporal_extent": """
+            SELECT min(ts) - INTERVAL 1 HOUR AS t_begin,
+                   max(ts) + INTERVAL 1 HOUR AS t_end
+            FROM events""",
+        "temporal_split": """
+            WITH bounds AS (SELECT epoch_us(min(ts)) AS a, epoch_us(max(ts)) AS b FROM events),
+            idx AS (SELECT unnest(range(4)) AS i)
+            SELECT i AS interval_idx,
+                   make_timestamp(a + ((b - a)//4)*i) AS t_begin,
+                   make_timestamp(a + ((b - a)//4)*(i + 1)) AS t_end
+            FROM bounds, idx""",
+        "cell_rollup": f"""{geo_pages}
+            SELECT 4*288230376151711744 + ({iy7}//8)*536870912 + ({ix7}//8) AS parent_cell,
+                   COUNT(*) AS n_docs
+            FROM geo GROUP BY 1""",
+        "events_window": """
+            SELECT user_id, event_id FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, ts, event_id) AS rn
+              FROM events) WHERE rn = 1""",
         "geo_extract": f"{geo_pages} SELECT doc_id, lon, lat FROM geo",
         "tile_assign": f"{geo_pages} SELECT doc_id, {_CELL_SQL} AS cell FROM geo",
         "cell_agg": f"""{geo_pages}

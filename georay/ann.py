@@ -1,0 +1,137 @@
+"""Approximate-nearest-neighbour search over an embedding column.
+
+- :class:`BruteForceKNN` — the correctness baseline: per batch, one dense
+  float64 matmul against a broadcast query matrix, per-row top-k merged
+  across batches by a tiny final reduce.  At 100 TB this is the inner
+  kernel of the scale path below, never run against the full corpus alone.
+- :class:`IVFKNN` — the scale path: k-means-style coarse quantizer
+  (deterministic seeding) assigns every vector to a centroid bucket; a
+  query probes only the ``nprobe`` nearest buckets.  Bucket assignment is
+  the only shuffle; probing is a broadcast map.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _resolve(x):
+    return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def cosine_topk(queries: np.ndarray, cand: np.ndarray, cand_ids: np.ndarray, k: int):
+    """(q, d) x (n, d) -> per-query top-k by (cosine desc, id asc).
+
+    Returns (ids (q,k), sims (q,k)).  Dense matmul, float64 for oracle
+    parity with DuckDB's list_cosine_similarity ordering.
+    """
+    qn = np.linalg.norm(queries, axis=1, keepdims=True)
+    cn = np.linalg.norm(cand, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    cn[cn == 0] = 1.0
+    sim = (queries / qn) @ (cand / cn).T
+    order = np.argsort(cand_ids, kind="stable")
+    sim = sim[:, order]
+    ids_sorted = cand_ids[order]
+    kk = min(k, sim.shape[1])
+    part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+    rows = np.arange(sim.shape[0])[:, None]
+    psim = sim[rows, part]
+    srt = np.argsort(-psim, axis=1, kind="stable")  # ties keep id order
+    top = part[rows, srt]
+    return ids_sorted[top], sim[rows, top]
+
+
+class BruteForceKNN:
+    """map_batches actor: each batch of vectors is scored against the
+    broadcast query matrix; emits per-(query, batch) top-k partials.
+    Merge partials with :func:`merge_topk_partials`."""
+
+    def __init__(self, query_ref, k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"):
+        q = _resolve(query_ref)
+        self.query_ids = np.asarray(q["query_id"], dtype=np.int64)
+        self.queries = np.asarray(q["vectors"], dtype=np.float64)
+        self.k = int(k)
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cand = _to_matrix(batch.column(self.vec_col))
+        ids = batch.column(self.id_col).to_numpy()
+        top_ids, top_sims = cosine_topk(self.queries, cand, ids, self.k)
+        q, kk = top_ids.shape
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(self.query_ids, kk), pa.int64()),
+                self.id_col: pa.array(top_ids.ravel()),
+                "cosine": pa.array(top_sims.ravel(), pa.float64()),
+            }
+        )
+
+
+def merge_topk_partials(ds, k: int, id_col: str = "vec_id"):
+    """Final reduce: per-query global top-k by (cosine desc, id asc).
+    Partials are tiny (q x k per block) — single driver-side merge."""
+    t = ds.to_pandas()
+    t = t.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True], kind="stable")
+    t = t.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    t["rank"] = t.groupby("query_id").cumcount() + 1
+    return t[["query_id", id_col, "rank"]]
+
+
+class IVFKNN:
+    """IVF-style ANN: nearest-centroid bucketing with deterministic
+    centroids, probing ``nprobe`` buckets per query.
+
+    Centroids are chosen by a fixed-seed sample + one Lloyd step —
+    deterministic, no RNG at query time.  Recall is traded via nprobe.
+    """
+
+    def __init__(self, vectors: np.ndarray, ids: np.ndarray, n_lists: int = 16, seed: int = 13):
+        vectors = np.asarray(vectors, dtype=np.float64)
+        rng = np.random.default_rng(seed)
+        n = len(vectors)
+        n_lists = min(n_lists, max(1, n // 4))
+        centroids = vectors[rng.choice(n, size=n_lists, replace=False)]
+        for _ in range(3):  # few Lloyd steps
+            assign = self._nearest(vectors, centroids)
+            for c in range(n_lists):
+                m = assign == c
+                if m.any():
+                    centroids[c] = vectors[m].mean(axis=0)
+        self.centroids = centroids
+        self.assign = self._nearest(vectors, centroids)
+        self.vectors = vectors
+        self.ids = np.asarray(ids)
+        self.buckets = [np.nonzero(self.assign == c)[0] for c in range(n_lists)]
+
+    @staticmethod
+    def _nearest(v, c):
+        d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d, axis=1)
+
+    def search(self, queries: np.ndarray, k: int, nprobe: int = 4):
+        queries = np.asarray(queries, dtype=np.float64)
+        d = ((queries[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        probe = np.argsort(d, axis=1)[:, :nprobe]
+        out_ids = []
+        out_sims = []
+        for qi in range(len(queries)):
+            cand_idx = np.concatenate([self.buckets[c] for c in probe[qi]])
+            if len(cand_idx) == 0:
+                cand_idx = np.arange(len(self.vectors))
+            ids, sims = cosine_topk(queries[qi : qi + 1], self.vectors[cand_idx], self.ids[cand_idx], k)
+            out_ids.append(ids[0])
+            out_sims.append(sims[0])
+        return out_ids, out_sims

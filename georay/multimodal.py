@@ -1,0 +1,150 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with typed metadata columns
+(mime, width/height/duration when known).  Decode / feature-extraction /
+resize / frame-sampling are actor-pool ``map_batches`` stages whose Ray
+plumbing (schema, batch sizing, actor signature, output layout) is real
+and tested; the codec itself is STUBBED because no image/audio libraries
+exist in this container:
+
+- ``fake=True``  -> deterministic fake decode derived from the payload
+  bytes (stable across runs; exercises the full pipeline shape).
+- ``fake=False`` -> raises NotImplementedError with the dependency note.
+
+Batch-size guidance: media rows are large — size ``batch_size`` so
+batch_bytes x concurrency stays under the worker heap budget
+(SURVEY.md §4 memory row); callers pass ``batch_size`` explicitly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+    ]
+)
+
+DECODED_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_channels", pa.int32()),
+        ("mean_luma", pa.float64()),
+        ("feature", pa.list_(pa.float32())),
+    ]
+)
+
+
+def _stable_u64(payload: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: binary payload -> (dims, stats, feature vector).
+
+    Real deployment would load the codec/model once here in ``__init__``
+    (the expensive state); `fake` mode derives deterministic outputs from
+    a payload digest so the pipeline is testable end-to-end.
+    """
+
+    def __init__(self, fake: bool = True, feature_dim: int = 8):
+        self.fake = fake
+        self.feature_dim = int(feature_dim)
+        if not fake:
+            raise NotImplementedError(
+                "No image codec available in this environment; "
+                "install Pillow/opencv and implement _decode_real, or use fake=True."
+            )
+
+    def _decode_fake(self, payload: bytes):
+        h = _stable_u64(payload)
+        w = 64 + (h & 0x3FF)
+        ht = 64 + ((h >> 10) & 0x3FF)
+        rng = np.random.default_rng(h & 0xFFFFFFFF)
+        feat = rng.standard_normal(self.feature_dim).astype(np.float32)
+        return w, ht, 3, float((h >> 20) & 0xFF) / 255.0, feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        rows = [self._decode_fake(p or b"") for p in payloads]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "width": pa.array([r[0] for r in rows], pa.int32()),
+                "height": pa.array([r[1] for r in rows], pa.int32()),
+                "n_channels": pa.array([r[2] for r in rows], pa.int32()),
+                "mean_luma": pa.array([r[3] for r in rows], pa.float64()),
+                "feature": pa.array([r[4] for r in rows], pa.list_(pa.float32())),
+            }
+        )
+
+
+class ResizeStage:
+    """Stub resize: recomputes metadata dims; payload untouched in fake mode."""
+
+    def __init__(self, max_side: int = 256, fake: bool = True):
+        self.max_side = int(max_side)
+        if not fake:
+            raise NotImplementedError("resize requires an image library; use fake=True")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy().astype(np.float64)
+        h = batch.column("height").to_numpy().astype(np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        out = batch.drop_columns(["width", "height"])
+        out = out.append_column("width", pa.array((w * scale).astype(np.int32)))
+        out = out.append_column("height", pa.array((h * scale).astype(np.int32)))
+        return out
+
+
+class FrameSampleStage:
+    """Stub video frame sampler: emits ``n_frames`` child rows per media
+    row (flat_map layout: media_id, frame_idx, frame_payload)."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = True):
+        self.n_frames = int(n_frames)
+        if not fake:
+            raise NotImplementedError("frame sampling requires a video library; use fake=True")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        payloads = batch.column("payload").to_pylist()
+        out_ids, out_idx, out_payload = [], [], []
+        for mid, p in zip(ids, payloads):
+            p = p or b""
+            for f in range(self.n_frames):
+                out_ids.append(mid)
+                out_idx.append(f)
+                # deterministic fake frame: digest-derived slice
+                out_payload.append(hashlib.blake2b(p + bytes([f]), digest_size=16).digest())
+        return pa.table(
+            {
+                "media_id": pa.array(out_ids, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "frame_payload": pa.array(out_payload, pa.binary()),
+            }
+        )
+
+
+def synth_media_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic fake media table derived from any id column (for
+    tests/benches: payload bytes are a digest-expanded blob)."""
+    ids = batch.column(id_col).to_numpy()
+    payloads = [
+        hashlib.blake2b(str(int(i)).encode(), digest_size=32).digest() * 8 for i in ids
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "mime": pa.array(["image/fake"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )

@@ -1,0 +1,173 @@
+"""Text-analysis kernels for training-data pipelines (SURVEY-mandated
+large-scale extras): token counting, quality metrics, language ID,
+document fingerprinting.
+
+All kernels are vectorized (pyarrow C++ regex / numpy); per-document
+Python loops appear only where variable-length token structure forces
+them, and then only over flattened arrays with ``reduceat``-style
+offsets.  Counting kernels have exact DuckDB mirrors (documented inline)
+so they are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: token = maximal run of non-whitespace; SQL mirror:
+#:   length(regexp_extract_all(text, '\S+'))
+TOKEN_RE = r"\S+"
+#: BPE-ish subword splitter: runs of letters, digits, or single punctuation
+#: (a deterministic approximation of byte-pair pretokenization); SQL mirror
+#: uses the identical RE2 pattern.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[.,;:!?]"
+STOPWORDS = (
+    "the a an and or of to in is are was were for on with as at by it this that".split()
+)
+STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+def token_counts(text: pa.Array) -> dict[str, np.ndarray]:
+    """Counting kernels, each with an exact SQL mirror:
+
+    n_chars   = length(text)
+    n_tokens  = length(regexp_extract_all(text, '\\S+'))
+    n_bpe     = length(regexp_extract_all(text, BPE_RE))
+    n_punct   = length(regexp_extract_all(text, '[.,;:!?]'))
+    n_stop    = length(regexp_extract_all(lower(text), STOPWORD_RE))
+    """
+    return {
+        "n_chars": pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64),
+        "n_tokens": pc.count_substring_regex(text, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.int64),
+        "n_bpe": pc.count_substring_regex(text, BPE_RE).to_numpy(zero_copy_only=False).astype(np.int64),
+        "n_punct": pc.count_substring_regex(text, PUNCT_RE).to_numpy(zero_copy_only=False).astype(np.int64),
+        "n_stop": pc.count_substring_regex(pc.utf8_lower(text), STOPWORD_RE)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+    }
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-document quality metrics as integer counts (exact, oracle-safe)
+    plus a fixed-point quality score in basis points.
+
+    score_bp = floor(10000 * (0.4*stop_ratio + 0.3*min(1, n_tokens/100)
+                              + 0.3*(1 - punct_ratio)) + 0.5)
+    (floor(x+0.5) rather than round(): numpy rounds half-to-even, SQL
+    half-away — floor(+0.5) is identical on both sides.)
+    """
+    text = batch.column(text_col).combine_chunks()
+    c = token_counts(text)
+    nt = np.maximum(1, c["n_tokens"])
+    stop_ratio = c["n_stop"] / nt
+    punct_ratio = np.minimum(1.0, c["n_punct"] / nt)
+    score = 0.4 * stop_ratio + 0.3 * np.minimum(1.0, c["n_tokens"] / 100.0) + 0.3 * (1.0 - punct_ratio)
+    out = {id_col: batch.column(id_col)}
+    for k, v in c.items():
+        out[k] = pa.array(v, pa.int64())
+    out["quality_bp"] = pa.array(np.floor(score * 10000 + 0.5).astype(np.int64), pa.int64())
+    return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram / stopword heuristic)
+# ---------------------------------------------------------------------------
+
+#: tiny per-language stopword profiles (top function words); public knowledge
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich", "zu"},
+    "fr": {"le", "la", "les", "et", "des", "est", "un", "une", "que", "dans"},
+    "es": {"el", "la", "los", "y", "de", "que", "es", "un", "una", "por"},
+}
+
+
+def detect_language(text: pa.Array) -> np.ndarray:
+    """Heuristic language ID: CJK codepoint share -> 'zh'; otherwise the
+    language whose stopword profile matches the most tokens; 'und' when
+    nothing matches.  Vectorized via one lowercase tokenization pass."""
+    n = len(text)
+    # CJK detection: any CJK-unified char
+    cjk = pc.count_substring_regex(text, r"[一-鿿]").to_numpy(zero_copy_only=False)
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\W+")
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    scores = np.zeros((n, len(_LANG_PROFILES)), dtype=np.int32)
+    langs = list(_LANG_PROFILES)
+    empty = offsets[:-1] == offsets[1:]
+    starts = np.minimum(offsets[:-1], max(0, len(flat) - 1)).astype(np.int64)
+    for li, lang in enumerate(langs):
+        prof = _LANG_PROFILES[lang]
+        if len(flat):
+            hits = np.fromiter((t in prof for t in flat), count=len(flat), dtype=np.int32)
+            scores[:, li] = np.add.reduceat(hits, starts)
+        scores[empty, li] = 0
+    best = np.argmax(scores, axis=1)
+    best_score = scores[np.arange(n), best]
+    out = np.asarray([langs[b] for b in best], dtype=object)
+    out[best_score == 0] = "und"
+    out[cjk > 0] = "zh"
+    return out
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    pred = detect_language(batch.column(text_col).combine_chunks())
+    return pa.table({id_col: batch.column(id_col), "lang_pred": pa.array(pred, pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (winnowing over a rolling token-hash window)
+# ---------------------------------------------------------------------------
+
+def _token_hashes(text: pa.Array):
+    """Stable 64-bit hash per whitespace token -> (flat_hashes, offsets)."""
+    toks = pc.split_pattern_regex(text, r"\s+")
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    h = pd.util.hash_array(flat.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    return h, offsets
+
+
+def fingerprint_batch(
+    batch: pa.Table, window: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Winnowing fingerprint (Schleimer et al. 2003, SIGMOD — public
+    algorithm): rolling k-token shingle hashes, minimum per sliding window,
+    deduplicated; emitted as a per-doc fingerprint count + xor-combined
+    digest (order-insensitive, oracle-unfriendly by nature -> rows-only)."""
+    text = batch.column(text_col).combine_chunks()
+    h, offsets = _token_hashes(text)
+    n = len(batch)
+    counts = np.zeros(n, dtype=np.int64)
+    digests = np.zeros(n, dtype=np.uint64)
+    K = np.uint64(0x9E3779B97F4A7C15)
+    for i in range(n):
+        s, e = offsets[i], offsets[i + 1]
+        th = h[s:e]
+        if len(th) == 0:
+            continue
+        # 3-token rolling shingles
+        if len(th) >= 3:
+            sh = th[:-2] * K + th[1:-1] * np.uint64(0x85EBCA77C2B2AE63) + th[2:]
+        else:
+            sh = th
+        if len(sh) >= window:
+            view = np.lib.stride_tricks.sliding_window_view(sh, window)
+            mins = view.min(axis=1)
+        else:
+            mins = np.asarray([sh.min()], dtype=np.uint64)
+        fp = np.unique(mins)
+        counts[i] = len(fp)
+        digests[i] = np.bitwise_xor.reduce(fp)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "fp_count": pa.array(counts, pa.int64()),
+            "fp_digest": pa.array(digests.astype(np.int64), pa.int64()),
+        }
+    )

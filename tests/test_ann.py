@@ -1,0 +1,63 @@
+"""ANN: brute-force cosine top-k and IVF bucketed search."""
+
+import numpy as np
+import pytest
+
+from georay.ann import IVFKNN, cosine_topk
+
+
+def make_vecs(n=200, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, d))
+    return v, np.arange(n, dtype=np.int64)
+
+
+class TestBruteForce:
+    def test_self_is_nearest(self):
+        v, ids = make_vecs()
+        top_ids, sims = cosine_topk(v[:5], v, ids, k=3)
+        np.testing.assert_array_equal(top_ids[:, 0], ids[:5])
+        np.testing.assert_allclose(sims[:, 0], 1.0, atol=1e-12)
+
+    def test_matches_naive(self):
+        v, ids = make_vecs(50, 8)
+        q = v[:3]
+        top_ids, _ = cosine_topk(q, v, ids, k=5)
+        unit = v / np.linalg.norm(v, axis=1, keepdims=True)
+        for i in range(3):
+            sims = unit @ unit[i]
+            want = np.argsort(-sims, kind="stable")[:5]
+            np.testing.assert_array_equal(top_ids[i], want)
+
+    def test_tie_break_by_id(self):
+        v = np.array([[1.0, 0.0], [2.0, 0.0], [0.0, 1.0]])  # 0 and 1 colinear
+        ids = np.array([7, 3, 9])
+        top_ids, _ = cosine_topk(np.array([[1.0, 0.0]]), v, ids, k=2)
+        np.testing.assert_array_equal(top_ids[0], [3, 7])  # equal sim -> smaller id first
+
+
+class TestIVF:
+    def test_high_recall_vs_brute(self):
+        v, ids = make_vecs(400, 16)
+        idx = IVFKNN(v, ids, n_lists=8)
+        q = v[:10]
+        got_ids, _ = idx.search(q, k=5, nprobe=8)  # probe everything -> exact
+        brute_ids, _ = cosine_topk(q, v, ids, k=5)
+        for g, b in zip(got_ids, brute_ids):
+            assert set(g) == set(b)
+
+    def test_partial_probe_recall(self):
+        v, ids = make_vecs(400, 16)
+        idx = IVFKNN(v, ids, n_lists=8)
+        q = v[:20]
+        got_ids, _ = idx.search(q, k=5, nprobe=4)
+        brute_ids, _ = cosine_topk(q, v, ids, k=5)
+        recall = np.mean([len(set(g) & set(b)) / 5 for g, b in zip(got_ids, brute_ids)])
+        assert recall >= 0.5  # nprobe=4 of 8 lists
+
+    def test_deterministic(self):
+        v, ids = make_vecs(100, 8)
+        a = IVFKNN(v, ids, n_lists=4).search(v[:3], k=3)
+        b = IVFKNN(v, ids, n_lists=4).search(v[:3], k=3)
+        for x, y in zip(a[0], b[0]):
+            np.testing.assert_array_equal(x, y)

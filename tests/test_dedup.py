@@ -1,0 +1,106 @@
+"""Deduplication kernels: minhash signatures/LSH, simhash, jaccard, cosine."""
+
+import numpy as np
+import pyarrow as pa
+
+from georay.dedup import (
+    cosine_pairs,
+    estimate_jaccard,
+    hamming64,
+    hyperplane_keys,
+    jaccard_ngrams,
+    lsh_band_keys,
+    minhash_band_batch,
+    minhash_signatures,
+    simhash_batch,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm "
+    "windowsill and the birds sing in the garden under a bright morning sun"
+)
+NEAR = DOC.replace("morning", "evening")
+FAR = (
+    "completely different content about distributed dataflow engines processing parquet "
+    "tables with vectorized arrow kernels across many worker nodes in a cluster"
+)
+
+
+def tbl(texts):
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+
+
+class TestMinHash:
+    def test_identical_docs_identical_signatures(self):
+        sig = minhash_signatures(pa.array([DOC, DOC]))
+        np.testing.assert_array_equal(sig[0], sig[1])
+
+    def test_near_dup_high_estimate(self):
+        sig = minhash_signatures(pa.array([DOC, NEAR, FAR]))
+        assert estimate_jaccard(sig[0], sig[1]) > 0.6
+        assert estimate_jaccard(sig[0], sig[2]) < 0.1
+
+    def test_estimate_tracks_true_jaccard(self):
+        true_j = jaccard_ngrams(DOC, NEAR)
+        sig = minhash_signatures(pa.array([DOC, NEAR]))
+        est = estimate_jaccard(sig[0], sig[1])
+        assert abs(est - true_j) < 0.15  # 128 perms -> se ~ 0.04
+
+    def test_band_keys_collide_for_near_dups(self):
+        sig = minhash_signatures(pa.array([DOC, NEAR, FAR]))
+        keys = lsh_band_keys(sig)
+        shared_near = (keys[0] == keys[1]).sum()
+        shared_far = (keys[0] == keys[2]).sum()
+        assert shared_near >= 1
+        assert shared_far == 0
+
+    def test_band_batch_layout(self):
+        out = minhash_band_batch(tbl([DOC, NEAR]), num_perm=64, bands=16)
+        assert out.column_names == ["band", "key", "doc_id"]
+        assert out.num_rows == 2 * 16
+
+    def test_empty_doc(self):
+        sig = minhash_signatures(pa.array(["", DOC]))
+        assert (sig[0] == np.iinfo(np.uint64).max).all()
+
+
+class TestSimHash:
+    def test_identical_same_hash(self):
+        out = simhash_batch(tbl([DOC, DOC]))
+        s = out.column("simhash").to_pylist()
+        assert s[0] == s[1]
+
+    def test_near_dup_small_hamming(self):
+        out = simhash_batch(tbl([DOC, NEAR, FAR]))
+        s = np.asarray(out.column("simhash").to_pylist(), dtype=np.int64)
+        d_near = hamming64(s[0:1], s[1:2])[0]
+        d_far = hamming64(s[0:1], s[2:3])[0]
+        assert d_near < d_far
+        assert d_near <= 12
+
+    def test_block_keys_cover_hash(self):
+        out = simhash_batch(tbl([DOC]))
+        s = np.array(out.column("simhash").to_pylist(), dtype=np.int64).view(np.uint64)[0]
+        blocks = [out.column(f"blk{i}").to_pylist()[0] for i in range(4)]
+        recomposed = np.uint64(0)
+        for i, b in enumerate(blocks):
+            recomposed |= np.uint64(b) << np.uint64(16 * i)
+        assert recomposed == s
+
+
+class TestEmbeddingDedup:
+    def test_cosine_pairs_threshold(self):
+        vecs = np.array([[1.0, 0.0], [0.99, 0.14], [0.0, 1.0]])
+        out = cosine_pairs(vecs, np.array([10, 11, 12]), 0.9)
+        pairs = list(zip(out.column("vec_a").to_pylist(), out.column("vec_b").to_pylist()))
+        assert pairs == [(10, 11)]
+
+    def test_hyperplane_buckets_group_identical(self):
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal((20, 16))
+        keys = hyperplane_keys(v)
+        keys2 = hyperplane_keys(v.copy())
+        np.testing.assert_array_equal(keys, keys2)
+        assert hyperplane_keys(v[:1])[0] == keys[0]
