@@ -441,6 +441,21 @@ def _q_cell_rollup(sf_dir: str):
     )
 
 
+def _q_geo_explode(sf_dir: str):
+    """Multi-geometry pages: every coordinate pair, one row per match
+    (flat_map/explode path; every 7th geo page carries a second pair)."""
+    from georay.extract import extract_all_geo_batch
+
+    return read_pages(sf_dir).map_batches(extract_all_geo_batch, batch_format="pyarrow")
+
+
+def _q_distinct_segments(sf_dir: str):
+    """Set op: distinct market segments (Dataset.unique analog via
+    hash-partition groupby count)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
+
+
 def _q_events_window(sf_dir: str):
     """Windowed top-1: highest-value event per user (groupby.map_groups)."""
     import pandas as pd
@@ -468,6 +483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_extent": _q_temporal_extent,
         "temporal_split": _q_temporal_split,
         "cell_rollup": _q_cell_rollup,
+        "geo_explode": _q_geo_explode,
+        "distinct_segments": _q_distinct_segments,
         "events_window": _q_events_window,
         "geo_extract": _q_geo_extract,
         "tile_assign": _q_tile_assign,
@@ -576,6 +593,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 4*288230376151711744 + ({iy7}//8)*536870912 + ({ix7}//8) AS parent_cell,
                    COUNT(*) AS n_docs
             FROM geo GROUP BY 1""",
+        "geo_explode": f"""{geo_pages}
+            SELECT doc_id, lat, lon FROM geo
+            UNION ALL
+            SELECT doc_id, lat2 AS lat, lon2 AS lon FROM geo WHERE has_second""",
+        "distinct_segments": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer GROUP BY c_mktsegment""",
         "events_window": """
             SELECT user_id, event_id FROM (
               SELECT user_id, event_id,

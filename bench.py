@@ -38,7 +38,7 @@ def ensure_pages(sf_dir: str, n_pages: int, cache_root: str = "/tmp/georay_bench
     import pyarrow.parquet as pq
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(cache_root, f"pages_{sf_name}_{n_pages}_v2")
+    out_dir = os.path.join(cache_root, f"pages_{sf_name}_{n_pages}_v3")
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
@@ -99,7 +99,15 @@ def run_flagship(pages_dir: str, num_cpus: int, res: int = 7, repeats: int = 2):
     from georay.stages.join import make_spatial_join_fn
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+        # cap per-worker Arrow IO threads: otherwise a low num_cpus run
+        # borrows the whole machine for parquet decode through the IO pool
+        # and the N-vs-4N comparison stops being a cluster-size proxy
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            runtime_env={"env_vars": {"ARROW_IO_THREADS": "2", "OMP_NUM_THREADS": "1"}},
+        )
 
     wall = join_rows = n_cells = None
     for _ in range(max(1, repeats)):
@@ -155,8 +163,6 @@ def one_run(args) -> dict:
     import ray
 
     pages_dir = ensure_pages(args.sf_dir, args.pages)
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False)
     head = run_flagship(pages_dir, args.num_cpus)
     qs = run_queries(args.sf_dir) if args.queries else {}
     ray.shutdown()
@@ -175,6 +181,14 @@ def one_run(args) -> dict:
     }
 
 
+def _burn(seconds: float) -> int:
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < seconds:
+        x += 1
+    return x
+
+
 def _cpu_ceiling(lo: int, hi: int, seconds: float = 2.0) -> float:
     """Measure THIS machine's raw process-level CPU scaling from lo -> hi
     concurrent busy loops.  Sandboxes cap effective cores below the
@@ -183,17 +197,10 @@ def _cpu_ceiling(lo: int, hi: int, seconds: float = 2.0) -> float:
     pipeline's efficiency separates scheduler quality from hardware."""
     import multiprocessing as mp
 
-    def burn(_):
-        t0 = time.perf_counter()
-        x = 0
-        while time.perf_counter() - t0 < seconds:
-            x += 1
-        return x
-
     totals = {}
     for n in (lo, hi):
         with mp.Pool(n) as p:
-            totals[n] = sum(p.map(burn, range(n)))
+            totals[n] = sum(p.map(_burn, [seconds] * n))
     return (totals[hi] / totals[lo]) / (hi / lo)
 
 

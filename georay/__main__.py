@@ -1,0 +1,101 @@
+"""CLI entry point: ``python -m georay <command>`` (ray-job-submit friendly).
+
+Commands:
+  flagship   run the end-to-end spatial pipeline and write outputs
+  resume     checkpointed flagship over an input directory (skips finished
+             partitions — the north_rule resumability path)
+  bench      alias for the repo-root bench harness
+
+Owns its Ray session (scripts only — the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False)
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    return ray
+
+
+def cmd_flagship(args):
+    ray = _init_ray(args.num_cpus)
+    from georay.pipelines.flagship import flagship
+
+    joined, agg = flagship(
+        args.sf_dir, res=args.res, predicate=args.predicate, out_dir=args.out
+    )
+    print(json.dumps({"join_rows": joined.count(), "cells": agg.count(), "out": args.out}))
+    ray.shutdown()
+
+
+def cmd_resume(args):
+    ray = _init_ray(args.num_cpus)
+    from georay.pipelines.pages import synthesize_pages_batch
+    from georay.pipelines.polygons import polygon_payload
+    from georay.stages.geo import Reproject, cellize, extract_geo_batch, filter_has_geo
+    from georay.stages.join import make_spatial_join_fn
+
+    payload_ref = ray.put(polygon_payload())
+
+    def build(files):
+        import ray.data
+
+        ds = ray.data.read_parquet(files)
+        if args.synthesize:
+            ds = ds.map_batches(synthesize_pages_batch, batch_format="pyarrow")
+        ds = (
+            ds.map_batches(lambda b: extract_geo_batch(b, keep_text=False), batch_format="pyarrow")
+            .map_batches(filter_has_geo, batch_format="pyarrow")
+            .map_batches(Reproject(4326), batch_format="pyarrow")
+            .map_batches(lambda b: cellize(b, args.res), batch_format="pyarrow")
+        )
+        return ds.map_batches(make_spatial_join_fn(payload_ref, args.predicate), batch_format="pyarrow")
+
+    from georay.state.checkpoint import resumable_run
+
+    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    stats = resumable_run(files, args.out, build, group_size=args.group_size)
+    print(json.dumps(stats))
+    ray.shutdown()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="georay")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("flagship", help="end-to-end spatial pipeline")
+    f.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    f.add_argument("--out", default=None)
+    f.add_argument("--res", type=int, default=7)
+    f.add_argument("--predicate", default="INTERSECTS")
+    f.add_argument("--num-cpus", type=int, default=None)
+    f.set_defaults(fn=cmd_flagship)
+
+    r = sub.add_parser("resume", help="checkpointed run over an input dir")
+    r.add_argument("--input", required=True, help="directory of input parquet files")
+    r.add_argument("--out", required=True)
+    r.add_argument("--res", type=int, default=7)
+    r.add_argument("--predicate", default="INTERSECTS")
+    r.add_argument("--group-size", type=int, default=8)
+    r.add_argument("--synthesize", action="store_true", help="input is a documents table; synthesize pages")
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.set_defaults(fn=cmd_resume)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -107,6 +107,58 @@ def extract_geo_columns(html: pa.Array):
     return lon, lat, epsg, has_geo
 
 
+def extract_all_geo_batch(batch: pa.Table) -> pa.Table:
+    """Multi-geometry extraction: EVERY coordinate pair on the page, one
+    output row per (doc, match) — the explode / flat_map path (the
+    reference's multi-geometry member handling, GmlUtils G-07 analog).
+
+    Sources unioned: geo.position meta, ICBM meta, and ALL plain-text
+    ``geo: LAT, LON`` occurrences (polars ``str.extract_all``, vectorized).
+    Output: (doc_id, lat, lon) — lat-first sources canonicalized lon-first.
+    """
+    import polars as pl
+
+    html = batch.column("html").combine_chunks()
+    if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
+        html = pc.cast(html, pa.string())
+    doc_id = batch.column("doc_id").to_numpy()
+    n = len(html)
+
+    rows_id, rows_lat, rows_lon = [], [], []
+    # single-occurrence meta sources via the Arrow kernels
+    for pattern in (GEO_POSITION_RE, ICBM_RE):
+        st = pc.extract_regex(html, pattern)
+        plat = pc.cast(pc.struct_field(st, "glat"), pa.float64()).to_numpy(zero_copy_only=False)
+        plon = pc.cast(pc.struct_field(st, "glon"), pa.float64()).to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(plat)
+        rows_id.append(doc_id[hit])
+        rows_lat.append(plat[hit])
+        rows_lon.append(plon[hit])
+
+    # all text-pattern occurrences via polars extract_all + explode
+    s = pl.from_arrow(html)
+    df = (
+        pl.DataFrame({"doc_id": doc_id, "m": s.str.extract_all(TEXT_GEO_RE)})
+        .explode("m")
+        .drop_nulls("m")
+        .with_columns(
+            pl.col("m").str.extract(r"geo:\s*(" + _NUM + ")", 1).cast(pl.Float64).alias("lat"),
+            pl.col("m").str.extract(r",\s*(" + _NUM + ")", 1).cast(pl.Float64).alias("lon"),
+        )
+    )
+    rows_id.append(df["doc_id"].to_numpy())
+    rows_lat.append(df["lat"].to_numpy())
+    rows_lon.append(df["lon"].to_numpy())
+
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(rows_id), pa.int64()),
+            "lat": pa.array(np.concatenate(rows_lat), pa.float64()),
+            "lon": pa.array(np.concatenate(rows_lon), pa.float64()),
+        }
+    )
+
+
 def extract_geo_batch(batch: pa.Table, drop_html: bool = True, keep_text: bool = True) -> pa.Table:
     """map_batches kernel: pages batch -> GEO-schema batch.
 

@@ -57,6 +57,12 @@ def synthesize_pages_batch(batch: pa.Table) -> pa.Table:
 
     lon_raw = (doc_id * 7919) % 36000 / 100.0 - 180.0
     lat_raw = (doc_id * 104729) % 17000 / 100.0 - 85.0
+    # secondary coordinate pair on every 7th geo page (multi-geometry pages:
+    # the explode/flat_map path, G-07 analog); appended as a body pattern so
+    # the single-coordinate precedence chain is unaffected
+    lon2_raw = (doc_id * 27644437) % 36000 / 100.0 - 180.0
+    lat2_raw = (doc_id * 31337) % 17000 / 100.0 - 85.0
+    has_second = (doc_id % 7) == 0
     mode = doc_id % 3
     has_geo = (doc_id % 10) != 7
 
@@ -65,11 +71,14 @@ def synthesize_pages_batch(batch: pa.Table) -> pa.Table:
         if not has_geo[i]:
             htmls.append(_NOGEO.format(text=text[i]))
         else:
-            htmls.append(
-                _TEMPLATES[int(mode[i])].format(
-                    lat=f"{lat_raw[i]:.2f}", lon=f"{lon_raw[i]:.2f}", text=text[i]
-                )
+            h = _TEMPLATES[int(mode[i])].format(
+                lat=f"{lat_raw[i]:.2f}", lon=f"{lon_raw[i]:.2f}", text=text[i]
             )
+            if has_second[i]:
+                h = h.replace(
+                    "</body>", f"\ngeo: {lat2_raw[i]:.2f}, {lon2_raw[i]:.2f}</body>"
+                )
+            htmls.append(h)
     urls = [f"https://{lg}.example.org/doc/{d}" for lg, d in zip(lang, doc_id)]
     ts = BASE_TS_US + (doc_id * 1337 % YEAR_SECONDS) * 1_000_000
 
@@ -106,7 +115,10 @@ pages AS (
          lang,
          CAST(printf('%.2f', ((doc_id*7919)  % 36000)/100.0 - 180.0) AS DOUBLE) AS lon,
          CAST(printf('%.2f', ((doc_id*104729)% 17000)/100.0 -  85.0) AS DOUBLE) AS lat,
-         (doc_id % 10) <> 7 AS has_geo
+         CAST(printf('%.2f', ((doc_id*27644437) % 36000)/100.0 - 180.0) AS DOUBLE) AS lon2,
+         CAST(printf('%.2f', ((doc_id*31337)    % 17000)/100.0 -  85.0) AS DOUBLE) AS lat2,
+         (doc_id % 10) <> 7 AS has_geo,
+         (doc_id % 7) = 0 AS has_second
   FROM documents
 )
 """.strip()

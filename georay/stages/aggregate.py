@@ -112,10 +112,12 @@ def salt_column(key: np.ndarray, ids: np.ndarray, hot_keys: dict, default_salt: 
     """
     salt = np.zeros(len(key), dtype=np.int32)
     if hot_keys:
-        h = (ids * np.int64(0x9E3779B97F4A7C15)) >> np.int64(33)
+        # unsigned splitmix-style mix: int64 multiply would overflow signed
+        h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        h ^= h >> np.uint64(13)
         for k, s in hot_keys.items():
             m = key == k
-            salt[m] = (h[m] % np.int64(max(default_salt, s))).astype(np.int32)
+            salt[m] = (h[m] % np.uint64(max(default_salt, s))).astype(np.int32)
     return salt
 
 

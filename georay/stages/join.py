@@ -239,41 +239,78 @@ class KNNJoinActor:
         out_ref = []
         out_dist = []
         out_rank = []
-        # group points by cell: one candidate lookup per distinct cell
-        order = np.argsort(pcell, kind="stable")
-        bounds = np.nonzero(np.diff(pcell[order]))[0] + 1
-        groups = np.split(order, bounds)
-        max_ring = self._grid_n  # expanding past the whole grid is exhaustive
-        for grp in groups:
-            if len(grp) == 0:
-                continue
-            cell = int(pcell[grp[0]])
-            ring = 1
-            cand = self._candidates_for_cell(cell, ring)
-            # expand until >= k candidates, +1 safety ring so a neighbour
-            # just outside the current disk can't be missed
-            while len(cand) < self.k and ring < max_ring:
-                ring *= 2
-                cand = self._candidates_for_cell(cell, ring)
-            if ring < max_ring:
-                cand = self._candidates_for_cell(cell, ring + 1)
-            if len(cand) == 0:
-                continue
-            dfun = orthodromic_distance if self.exact else haversine_m
+        dfun = orthodromic_distance if self.exact else haversine_m
+        n_grid = self._grid_n
+        cell_h_deg = 180.0 / n_grid
+        cell_w_deg = 360.0 / n_grid
+        # conservative meters-per-degree lower bounds: latitude separation
+        # of d deg implies central angle >= d deg (~111.19 km/deg; use
+        # 110 km with ellipsoid margin); longitude separation of d deg at
+        # |lat| <= phi implies distance >= (2/pi) * d * cos(phi) * 111.32 km
+        # (asin flattening for large spans) — use 70 km/deg * cos(phi).
+        M_LAT = 110_000.0
+        M_LON = 70_000.0
+        POLAR_LAT = 80.0
+
+        def topk_of(grp, cand):
             d = dfun(
                 py[grp][:, None], px[grp][:, None], self.ref_lat[cand][None, :], self.ref_lon[cand][None, :]
             )
             kk = min(self.k, d.shape[1])
-            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk] if d.shape[1] > kk else np.tile(
+                np.arange(d.shape[1]), (d.shape[0], 1)
+            )
             rows = np.arange(d.shape[0])[:, None]
             dk = d[rows, part]
             srt = np.argsort(dk, axis=1, kind="stable")
-            topk = part[rows, srt]
-            dk = dk[rows, srt]
+            return part[rows, srt], dk[rows, srt], kk
+
+        def emit(grp, cand, topk, dk, kk):
             out_pt.append(np.repeat(grp, kk))
             out_ref.append(cand[topk].ravel())
             out_dist.append(dk.ravel())
             out_rank.append(np.tile(np.arange(1, kk + 1), len(grp)))
+
+        # group points by cell: one candidate lookup per distinct cell
+        order = np.argsort(pcell, kind="stable")
+        bounds = np.nonzero(np.diff(pcell[order]))[0] + 1
+        groups = np.split(order, bounds)
+        all_refs = np.arange(len(self.ref_ids), dtype=np.int64)
+        for grp in groups:
+            if len(grp) == 0:
+                continue
+            cell = int(pcell[grp[0]])
+            band_lat = np.abs(py[grp]).max()
+            if band_lat >= POLAR_LAT:
+                # near the poles longitude separation gives no distance
+                # guarantee — fall back to exhaustive for these few points
+                topk, dk, kk = topk_of(grp, all_refs)
+                emit(grp, all_refs, topk, dk, kk)
+                continue
+            ring = 1
+            while True:
+                cand = self._candidates_for_cell(cell, ring)
+                exhausted = ring >= n_grid
+                if len(cand) >= self.k or exhausted:
+                    if len(cand) == 0:
+                        break
+                    topk, dk, kk = topk_of(grp, cand)
+                    if exhausted:
+                        emit(grp, cand, topk, dk, kk)
+                        break
+                    # guarantee: any ref OUTSIDE disk(ring) is at least
+                    # `bound` meters from every point in this cell —
+                    # min of the latitude-only and longitude-only bounds
+                    # (longitude bound uses the widest |lat| the disk spans)
+                    disk_max_lat = min(89.9, band_lat + (ring + 1) * cell_h_deg)
+                    bound = min(
+                        (ring - 1) * cell_h_deg * M_LAT,
+                        (ring - 1) * cell_w_deg * M_LON * np.cos(np.radians(disk_max_lat)),
+                    )
+                    if dk[:, -1].max() <= bound:
+                        emit(grp, cand, topk, dk, kk)
+                        break
+                ring *= 2
 
         if out_pt:
             pt_idx = np.concatenate(out_pt)
