@@ -441,6 +441,46 @@ def _q_cell_rollup(sf_dir: str):
     )
 
 
+def _q_dwithin_poly(sf_dir: str):
+    """P-04 DWithin against broadcast polygons: planar nearest point on the
+    boundary (DistanceOp analog) then surface distance vs 300 km; interior
+    points are distance 0.  Great-circle variant so the oracle mirrors the
+    exact formula; Vincenty (exact=True) is the reference default."""
+    from georay.stages.join import DWithinJoinActor
+
+    geo = geo_dataset(sf_dir, res=CELL_RES)
+    ref = ray.put(_star_payload())
+    return geo.map_batches(
+        DWithinJoinActor,
+        fn_constructor_kwargs={
+            "polygons": ref,
+            "distance_m": 300_000.0,
+            "exact": False,
+            "keep_cols": ("doc_id",),
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).map_batches(lambda b: b.select(["doc_id", "polygon_id"]), batch_format="pyarrow")
+
+
+def _q_segment_revenue(sf_dir: str):
+    """Distributed hash join (Dataset.join) + groupby: revenue per market
+    segment in integer cents."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        c = np.round(b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_custkey": b.column("o_custkey"), "price_c": pa.array(c)})
+
+    joined = orders.map_batches(to_cents, batch_format="pyarrow").join(
+        cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    return joined.groupby("c_mktsegment").aggregate(
+        Sum("price_c", alias_name="revenue_cents"), Count(alias_name="n_orders")
+    )
+
+
 def _q_geo_explode(sf_dir: str):
     """Multi-geometry pages: every coordinate pair, one row per match
     (flat_map/explode path; every 7th geo page carries a second pair)."""
@@ -483,6 +523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_extent": _q_temporal_extent,
         "temporal_split": _q_temporal_split,
         "cell_rollup": _q_cell_rollup,
+        "dwithin_poly": _q_dwithin_poly,
+        "segment_revenue": _q_segment_revenue,
         "geo_explode": _q_geo_explode,
         "distinct_segments": _q_distinct_segments,
         "events_window": _q_events_window,
@@ -593,6 +635,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT 4*288230376151711744 + ({iy7}//8)*536870912 + ({ix7}//8) AS parent_cell,
                    COUNT(*) AS n_docs
             FROM geo GROUP BY 1""",
+        "dwithin_poly": f"""{geo_pages},
+            edges(polygon_id, eidx, x1, y1, x2, y2) AS (VALUES
+            {star_edges_sql_values(with_idx=True)}),
+            cand AS (
+              SELECT g.doc_id, g.lon, g.lat, e.polygon_id, e.eidx,
+                     x1 + least(1.0, greatest(0.0,
+                        ((g.lon - e.x1)*(e.x2 - e.x1) + (g.lat - e.y1)*(e.y2 - e.y1))
+                        / (CASE WHEN (e.x2-e.x1)*(e.x2-e.x1)+(e.y2-e.y1)*(e.y2-e.y1) = 0.0
+                                THEN 1.0
+                                ELSE (e.x2-e.x1)*(e.x2-e.x1)+(e.y2-e.y1)*(e.y2-e.y1) END)))
+                        * (e.x2 - e.x1) AS qx,
+                     y1 + least(1.0, greatest(0.0,
+                        ((g.lon - e.x1)*(e.x2 - e.x1) + (g.lat - e.y1)*(e.y2 - e.y1))
+                        / (CASE WHEN (e.x2-e.x1)*(e.x2-e.x1)+(e.y2-e.y1)*(e.y2-e.y1) = 0.0
+                                THEN 1.0
+                                ELSE (e.x2-e.x1)*(e.x2-e.x1)+(e.y2-e.y1)*(e.y2-e.y1) END)))
+                        * (e.y2 - e.y1) AS qy
+              FROM geo g, edges e),
+            nearest AS (
+              SELECT doc_id, polygon_id, lon, lat, qx, qy FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY doc_id, polygon_id
+                  ORDER BY (lon-qx)*(lon-qx) + (lat-qy)*(lat-qy), eidx) AS rn
+                FROM cand) WHERE rn = 1),
+            inside AS (
+              SELECT doc_id, polygon_id FROM (
+                SELECT g.doc_id, e.polygon_id,
+                       SUM(CASE WHEN ((e.y1 > g.lat) <> (e.y2 > g.lat))
+                                 AND (g.lon < e.x1 + (g.lat - e.y1)*(e.x2 - e.x1)/(e.y2 - e.y1))
+                            THEN 1 ELSE 0 END) AS crossings
+                FROM geo g, edges e GROUP BY g.doc_id, e.polygon_id)
+              WHERE crossings % 2 = 1)
+            SELECT n.doc_id, n.polygon_id
+            FROM nearest n LEFT JOIN inside i
+              ON n.doc_id = i.doc_id AND n.polygon_id = i.polygon_id
+            WHERE i.doc_id IS NOT NULL
+               OR 2.0*6371008.8*asin(least(1.0, sqrt(
+                    pow(sin(radians(n.qy - n.lat)/2.0), 2)
+                    + cos(radians(n.lat))*cos(radians(n.qy))
+                      *pow(sin(radians(n.qx - n.lon)/2.0), 2)))) < 300000.0""",
+        "segment_revenue": """
+            SELECT c.c_mktsegment, SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment""",
         "geo_explode": f"""{geo_pages}
             SELECT doc_id, lat, lon FROM geo
             UNION ALL

@@ -33,7 +33,13 @@ _TEMPLATES = {
         '<meta name="geo.srsName" content="urn:ogc:def:crs:EPSG::4326">'
         "</head><body>{text}</body></html>"
     ),
-    1: '<html><head><meta name="ICBM" content="{lat}, {lon}"></head><body>{text}</body></html>',
+    # http-URI srsName form exercises the R-07/R-08 identifier kernels in
+    # the extraction chain (resolves to the same EPSG:4326)
+    1: (
+        '<html><head><meta name="ICBM" content="{lat}, {lon}">'
+        '<meta name="geo.srsName" content="http://www.opengis.net/def/crs/EPSG/0/4326">'
+        "</head><body>{text}</body></html>"
+    ),
     2: "<html><head></head><body>{text}\ngeo: {lat}, {lon}</body></html>",
 }
 _NOGEO = "<html><head></head><body>{text}</body></html>"

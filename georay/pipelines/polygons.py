@@ -86,12 +86,17 @@ def build_polygon_set(payload, ids=None) -> PolygonSet:
     return PolygonSet(polys)
 
 
-def star_edges_sql_values() -> str:
-    """Star edges as a SQL VALUES list for the PIP oracle; floats rendered
-    with repr so DuckDB parses bit-identical doubles."""
+def star_edges_sql_values(with_idx: bool = False) -> str:
+    """Star edges as a SQL VALUES list for the PIP / DWithin oracles;
+    floats rendered with repr so DuckDB parses bit-identical doubles.
+    ``with_idx`` adds the per-polygon edge index (the argmin tie-break
+    the nearest-point kernel uses)."""
     rows = []
     for sid in range(N_STARS):
         ring = star_ring(sid)
-        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
-            rows.append(f"('star-{sid}',{x1!r},{y1!r},{x2!r},{y2!r})")
+        for eidx, ((x1, y1), (x2, y2)) in enumerate(zip(ring[:-1], ring[1:])):
+            if with_idx:
+                rows.append(f"('star-{sid}',{eidx},{x1!r},{y1!r},{x2!r},{y2!r})")
+            else:
+                rows.append(f"('star-{sid}',{x1!r},{y1!r},{x2!r},{y2!r})")
     return ",\n    ".join(rows)

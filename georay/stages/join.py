@@ -105,11 +105,21 @@ class DWithinJoinActor:
     degree-equivalent of the threshold bounds the candidate set.
     """
 
-    def __init__(self, polygons, distance_m: float, beyond: bool = False, keep_cols=("doc_id", "url")):
+    def __init__(
+        self,
+        polygons,
+        distance_m: float,
+        beyond: bool = False,
+        keep_cols=("doc_id", "url"),
+        exact: bool = True,
+    ):
         self.pset = build_polygon_set(_resolve(polygons))
         self.distance_m = float(distance_m)
         self.beyond = bool(beyond)
         self.keep_cols = list(keep_cols)
+        # exact=True: Vincenty orthodromic (reference P-04 semantics);
+        # exact=False: great-circle haversine (SQL-oracle-mirrorable)
+        self.exact = bool(exact)
         self.poly_ids = np.asarray([p.polygon_id for p in self.pset.polygons], dtype=object)
         # 1 deg latitude >= ~110.57 km everywhere; pad bboxes conservatively
         self.pad_deg = self.distance_m / 110_570.0 * 1.05
@@ -119,7 +129,12 @@ class DWithinJoinActor:
         out_pt, out_poly, out_dist = [], [], []
         for pid, poly in enumerate(self.pset.polygons):
             minx, miny, maxx, maxy = poly.bbox
-            pad_lon = self.pad_deg / max(0.087, np.cos(np.radians(np.clip((miny + maxy) / 2, -85, 85))))
+            # longitude pad must use the WORST (highest-|lat|) cosine the
+            # padded box can reach, x1.6 for great-circle flattening of
+            # large spans — a mid-latitude cosine under-pads near the
+            # polygon's poleward edge and silently drops true matches
+            lat_reach = min(85.0, max(abs(miny - self.pad_deg), abs(maxy + self.pad_deg)))
+            pad_lon = 1.6 * self.pad_deg / max(0.05, np.cos(np.radians(lat_reach)))
             cand = np.nonzero(
                 (px >= minx - pad_lon)
                 & (px <= maxx + pad_lon)
@@ -130,7 +145,8 @@ class DWithinJoinActor:
                 continue
             interior, boundary = poly.locate(px[cand], py[cand])
             nx, ny, _ = poly.nearest_on_boundary(px[cand], py[cand])
-            dist = orthodromic_distance(py[cand], px[cand], ny, nx)
+            dfun = orthodromic_distance if self.exact else haversine_m
+            dist = dfun(py[cand], px[cand], ny, nx)
             dist = np.where(interior | boundary, 0.0, dist)
             ok = dist < self.distance_m
             out_pt.append(cand[ok])
