@@ -181,6 +181,25 @@ def surface_interior_boundaries(geom: dict, epsg: int | None = None) -> list[np.
     raise ValueError(f"Unsupported surface kind: {geom['kind']}")
 
 
+def build_line_string(curve: dict, epsg: int | None = None):
+    """G-03 (GmlUtils.buildLineString, GmlUtils.java:441-458): curve ->
+    densified, 1ppm-deduped, right-handed LineString — the fallback path
+    the reference uses when converting GML Curves to JTS.
+
+    Returns a :class:`georay.geom.linestring.LineString` in right-handed
+    axis order (lon/lat for geographic CRSs).
+    """
+    from georay.geom.linestring import LineString
+    from georay.geom.rings import transform_ring_to_right_handed
+
+    epsg = curve.get("epsg", epsg)
+    if epsg is None:
+        raise ValueError("CRS reference is required to build a LineString")
+    coords = curve_coordinate_list(curve, epsg)
+    coords = transform_ring_to_right_handed(coords, int(epsg))  # densified + dedup@1ppm
+    return LineString(coords, int(epsg))
+
+
 def geometry_coordinate_list(geom: dict, epsg: int | None = None) -> np.ndarray:
     """C-15 top-level dispatch POINT / CURVE / SURFACE
     (GeometryCoordinateList.java:25-42, GeometryType.java:8-34)."""
