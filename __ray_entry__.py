@@ -285,13 +285,12 @@ def _q_simhash(sf_dir: str):
 def _q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs (band groupby is the only
     shuffle; SURVEY.md §2.8).  Deterministic; rows-only driver check."""
-    from georay.dedup import bucket_pairs, minhash_band_batch
+    from georay.dedup import band_bucket_pairs, minhash_band_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     banded = ds.map_batches(minhash_band_batch, batch_format="pyarrow")
-    pairs = banded.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
-    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
-    return uniq
+    pairs = band_bucket_pairs(banded)
+    return pairs.map_batches(lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
 
 
 def _q_embed_dup_pairs(sf_dir: str):

@@ -143,6 +143,91 @@ def minhash_band_batch(
     )
 
 
+def _bucket_list_partial(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Per-batch combine: (band, key) -> list of doc_ids (pyarrow C++)."""
+    g = batch.group_by(["band", "key"]).aggregate([(id_col, "list")])
+    return g.rename_columns(["band", "key", "ids"])
+
+
+def _bucket_list_merge(batch: pa.Table) -> pa.Table:
+    """Merge partial id-lists per (band, key): explode back to rows
+    (pyarrow's hash_list can't aggregate list columns) and re-list."""
+    ids = batch.column("ids").combine_chunks()
+    lengths = pc.list_value_length(ids).to_numpy(zero_copy_only=False)
+    idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), lengths), pa.int64())
+    rows = pa.table(
+        {
+            "band": batch.column("band").combine_chunks().take(idx),
+            "key": batch.column("key").combine_chunks().take(idx),
+            "doc_id": ids.flatten(),
+        }
+    )
+    return rows.group_by(["band", "key"]).aggregate([("doc_id", "list")]).rename_columns(
+        ["band", "key", "ids"]
+    )
+
+
+def band_bucket_pairs(banded_ds, id_col: str = "doc_id", fanout: int = 8, max_bucket: int = 512):
+    """(band, key, doc_id) rows -> distinct candidate pairs (doc_a < doc_b).
+
+    Tree-merged bucket aggregation (same pattern as the cell aggregate):
+    per-block pyarrow group_by into id-lists, coalesce, merge, then one
+    vectorized pair-expansion pass — avoids Ray's per-group ``map_groups``
+    dispatch, which costs ~0.5 ms per bucket and dominates when most LSH
+    buckets hold a single document.  Buckets larger than ``max_bucket``
+    are truncated (pathological all-identical shards) and flagged.
+    """
+    merged = banded_ds.map_batches(
+        lambda b: _bucket_list_partial(b, id_col), batch_format="pyarrow", batch_size=None
+    )
+    merged = merged.repartition(fanout).map_batches(
+        _bucket_list_merge, batch_format="pyarrow", batch_size=None
+    )
+    merged = merged.repartition(1).map_batches(
+        _bucket_list_merge, batch_format="pyarrow", batch_size=None
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids_col = batch.column("ids").combine_chunks()
+        lengths = pc.list_value_length(ids_col).to_numpy(zero_copy_only=False)
+        out_a, out_b, out_tr = [], [], []
+        offsets = ids_col.offsets.to_numpy(zero_copy_only=False)
+        flat = ids_col.flatten().to_numpy(zero_copy_only=False)
+        for i in np.nonzero(lengths >= 2)[0]:
+            ids = np.unique(flat[offsets[i] : offsets[i + 1]])
+            truncated = len(ids) > max_bucket
+            if truncated:
+                ids = ids[:max_bucket]
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+            out_tr.append(np.full(len(ia), truncated))
+        if not out_a:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "truncated": pa.array([], pa.bool_())}
+            )
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "truncated": pa.array(np.concatenate(out_tr), pa.bool_()),
+            }
+        )
+
+    pairs = merged.map_batches(expand, batch_format="pyarrow", batch_size=None)
+    # distinct pairs (a pair can collide in several bands)
+    return pairs.map_batches(
+        lambda b: b.group_by(["doc_a", "doc_b"]).aggregate([("truncated", "max")]).rename_columns(
+            ["doc_a", "doc_b", "truncated"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def bucket_pairs(group: pd.DataFrame, id_col: str = "doc_id", max_bucket: int = 512) -> pd.DataFrame:
     """map_groups kernel for a (band,key) bucket -> candidate pairs
     (doc_a < doc_b).  Buckets larger than ``max_bucket`` are truncated
