@@ -1,0 +1,174 @@
+"""Property-based invariants (hypothesis) over the core kernels."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from georay import cells
+from georay.crs.geodesy import geodesic_destination, geodesic_inverse, haversine_m, orthodromic_distance
+from georay.crs.projections import transformer
+from georay.geom.envelope import envelope_merge, envelope_partial
+from georay.geom.hull import convex_hull
+from georay.geom.polygon import Polygon
+from georay.geom.rings import remove_consecutive_duplicates
+from georay.temporal import relative_position
+
+lat_st = st.floats(-84.9, 84.9, allow_nan=False)
+lon_st = st.floats(-179.9, 179.9, allow_nan=False)
+res_st = st.integers(0, 14)
+
+SET = settings(max_examples=60, deadline=None)
+
+
+class TestCells:
+    @SET
+    @given(lat_st, lon_st, res_st)
+    def test_point_in_own_cell_bbox(self, lat, lon, res):
+        # eps: a value within 1 ulp of a cell edge legitimately rounds onto
+        # the edge ((lon+180) absorbs tiny lons); engine and SQL mirror
+        # agree bit-for-bit either way, so this is a property tolerance,
+        # not an engine/oracle divergence.
+        eps = 1e-9
+        c = cells.latlng_to_cell(np.array([lat]), np.array([lon]), res)
+        minlon, minlat, maxlon, maxlat = cells.cell_to_bbox(c)
+        assert minlon[0] - eps <= lon < maxlon[0] + eps or res == 0
+        assert minlat[0] - eps <= lat < maxlat[0] + eps or res == 0
+
+    @SET
+    @given(lat_st, lon_st, st.integers(1, 14), st.integers(0, 13))
+    def test_parent_equals_direct_encoding(self, lat, lon, res, parent_res):
+        if parent_res > res:
+            res, parent_res = parent_res, res
+        c = cells.latlng_to_cell(np.array([lat]), np.array([lon]), res)
+        p = cells.cell_parent(c, parent_res)
+        direct = cells.latlng_to_cell(np.array([lat]), np.array([lon]), parent_res)
+        assert p[0] == direct[0]
+
+    @SET
+    @given(lat_st, lon_st, st.integers(2, 10), st.integers(0, 3))
+    def test_disk_contains_center_and_is_unique(self, lat, lon, res, k):
+        c = int(cells.latlng_to_cell(np.array([lat]), np.array([lon]), res)[0])
+        disk = cells.grid_disk(c, k)
+        assert c in disk
+        assert len(np.unique(disk)) == len(disk)
+
+
+class TestGeodesy:
+    @SET
+    @given(lat_st, lon_st, st.floats(0, 359.99), st.floats(1.0, 2_000_000.0))
+    def test_destination_inverse_roundtrip(self, lat, lon, az, dist):
+        lat2, lon2 = geodesic_destination(lat, lon, az, dist)
+        d, _, _ = geodesic_inverse(lat, lon, float(lat2), float(lon2))
+        assert abs(d - dist) < max(0.05, dist * 1e-6)
+
+    @SET
+    @given(lat_st, lon_st, lat_st, lon_st)
+    def test_distance_symmetry_and_nonnegativity(self, lat1, lon1, lat2, lon2):
+        d1 = orthodromic_distance(lat1, lon1, lat2, lon2)
+        d2 = orthodromic_distance(lat2, lon2, lat1, lon1)
+        assert d1 >= 0
+        assert abs(d1 - d2) < 1e-6 * max(1.0, d1)
+
+    @SET
+    @given(lat_st, lon_st, lat_st, lon_st)
+    def test_haversine_close_to_ellipsoidal(self, lat1, lon1, lat2, lon2):
+        dv = float(orthodromic_distance(lat1, lon1, lat2, lon2))
+        dh = float(haversine_m(lat1, lon1, lat2, lon2))
+        assert abs(dv - dh) <= 0.01 * max(1000.0, dv)  # sphere vs ellipsoid < 1%
+
+
+class TestProjections:
+    @SET
+    @given(st.floats(0.5, 83.5), st.floats(-2.9, 2.9), st.integers(1, 60))
+    def test_utm_roundtrip_in_zone(self, lat, dlon, zone):
+        epsg = 32600 + zone
+        lon0 = -183.0 + 6.0 * zone
+        lon = lon0 + dlon
+        x, y = transformer(4326, epsg).transform(lon, lat)
+        lon2, lat2 = transformer(epsg, 4326).transform(float(x), float(y))
+        assert abs(lon2 - lon) < 1e-8
+        assert abs(lat2 - lat) < 1e-8
+
+
+class TestRings:
+    @SET
+    @given(
+        st.lists(
+            st.tuples(st.floats(1.0, 100.0), st.floats(1.0, 100.0)), min_size=2, max_size=30
+        ),
+        st.floats(0.1, 10.0),
+    )
+    def test_dedup_shrinks_and_stabilizes(self, pts, ppm):
+        coords = np.asarray(pts, dtype=np.float64)
+        once = remove_consecutive_duplicates(coords, ppm)
+        assert len(once) <= len(coords)
+        twice = remove_consecutive_duplicates(once, ppm)
+        assert len(twice) <= len(once)
+        # no interior adjacent duplicates remain after convergence
+        tol = ppm * 1e-6
+        if len(twice) > 2:
+            rel = np.abs(twice[1:-1] / twice[:-2] - 1.0)
+            assert not np.all(rel <= tol, axis=1).any()
+
+
+class TestHull:
+    @SET
+    @given(
+        st.lists(
+            st.tuples(st.floats(-50.0, 50.0), st.floats(-50.0, 50.0)), min_size=4, max_size=40
+        )
+    )
+    def test_hull_contains_all_points(self, pts):
+        coords = np.asarray(pts, dtype=np.float64)
+        hull = convex_hull(coords)
+        if len(hull) < 4:  # degenerate (collinear)
+            return
+        poly = Polygon(hull)
+        inside = poly.relate_points(coords[:, 0], coords[:, 1], "INTERSECTS")
+        # tolerance: points exactly on the hull boundary count as intersecting
+        assert inside.all()
+
+
+class TestTemporal:
+    @SET
+    @given(st.integers(0, 1000), st.integers(0, 1000), st.integers(0, 1000), st.integers(0, 1000))
+    def test_exactly_one_relation(self, a, b, c, d):
+        b1, e1 = sorted((a, b))
+        b2, e2 = sorted((c, d))
+        rel = relative_position(b1, e1, b2, e2)
+        assert 0 <= int(rel) <= 12  # always classified
+
+    @SET
+    @given(st.integers(0, 1000), st.integers(0, 1000), st.integers(0, 1000), st.integers(0, 1000))
+    def test_converse_pairs(self, a, b, c, d):
+        from georay import temporal as T
+
+        b1, e1 = sorted((a, b))
+        b2, e2 = sorted((c, d))
+        r = int(relative_position(b1, e1, b2, e2))
+        rc = int(relative_position(b2, e2, b1, e1))
+        converse = {
+            T.BEFORE: T.AFTER, T.AFTER: T.BEFORE, T.MEETS: T.MET_BY, T.MET_BY: T.MEETS,
+            T.DURING: T.CONTAINS, T.CONTAINS: T.DURING, T.BEGINS: T.BEGUN_BY,
+            T.BEGUN_BY: T.BEGINS, T.ENDS: T.ENDED_BY, T.ENDED_BY: T.ENDS,
+            T.OVERLAPS: T.OVERLAPPED_BY, T.OVERLAPPED_BY: T.OVERLAPS, T.EQUALS: T.EQUALS,
+        }
+        assert rc == converse[r]
+
+
+class TestEnvelopeAlgebra:
+    @SET
+    @given(
+        st.lists(st.tuples(lon_st, lat_st), min_size=1, max_size=10),
+        st.lists(st.tuples(lon_st, lat_st), min_size=1, max_size=10),
+    )
+    def test_merge_commutative_and_covers(self, pts_a, pts_b):
+        a = np.asarray(pts_a)
+        b = np.asarray(pts_b)
+        pa_ = envelope_partial(a[:, 0], a[:, 1])
+        pb = envelope_partial(b[:, 0], b[:, 1])
+        m1 = envelope_merge(pa_, pb)
+        m2 = envelope_merge(pb, pa_)
+        assert m1 == m2
+        allpts = np.vstack([a, b])
+        assert m1[0] <= allpts[:, 0].min() and m1[2] >= allpts[:, 0].max()
+        assert m1[1] <= allpts[:, 1].min() and m1[3] >= allpts[:, 1].max()
