@@ -495,6 +495,24 @@ def _q_distinct_segments(sf_dir: str):
     return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
 
 
+def _q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min): windowed aggregate custom op."""
+    from georay.pipelines.events import sessionize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+    return sessionize(ds)
+
+
+def _q_asof_purchase(sf_dir: str):
+    """As-of join: latest strictly-earlier purchase per event."""
+    from georay.pipelines.events import asof_purchase
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+    return asof_purchase(ds)
+
+
 def _q_events_window(sf_dir: str):
     """Windowed top-1: highest-value event per user (groupby.map_groups)."""
     import pandas as pd
@@ -526,6 +544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": _q_segment_revenue,
         "geo_explode": _q_geo_explode,
         "distinct_segments": _q_distinct_segments,
+        "sessionize": _q_sessionize,
+        "asof_purchase": _q_asof_purchase,
         "events_window": _q_events_window,
         "geo_extract": _q_geo_extract,
         "tile_assign": _q_tile_assign,
@@ -686,6 +706,28 @@ def oracle_sql() -> dict[str, str]:
         "distinct_segments": """
             SELECT c_mktsegment, COUNT(*) AS n_customers
             FROM customer GROUP BY c_mktsegment""",
+        "sessionize": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM ordered)
+            SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   MIN(ts) AS t_start, MAX(ts) AS t_end
+            FROM s GROUP BY user_id, session_idx""",
+        "asof_purchase": """
+            SELECT e.event_id,
+                   (SELECT max(p.ts) FROM events p
+                     WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                       AND p.ts < e.ts) AS last_purchase
+            FROM events e""",
         "events_window": """
             SELECT user_id, event_id FROM (
               SELECT user_id, event_id,
