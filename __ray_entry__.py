@@ -334,6 +334,37 @@ def _q_ann_cosine(sf_dir: str):
     return merge_topk_partials(partials, k=5)
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN (the scale path): probing ALL lists makes it
+    exact, so the brute-force SQL oracle applies verbatim — this checks
+    the quantizer + bucket plumbing, while partial-probe recall is
+    covered in pytest."""
+    import pyarrow.parquet as pq
+
+    from georay.ann import IVFKNN, _to_matrix
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = _to_matrix(t.column("embedding"))
+    ids = t.column("vec_id").to_numpy()
+    idx = IVFKNN(vecs, ids, n_lists=16)
+    queries_ = vecs[:4]
+    got_ids, _ = idx.search(queries_, k=5, nprobe=len(idx.buckets))
+    qids = ids[:4]
+    rows_q, rows_v, rows_r = [], [], []
+    for qi, neigh in zip(qids, got_ids):
+        for r, vid in enumerate(neigh, start=1):
+            rows_q.append(int(qi))
+            rows_v.append(int(vid))
+            rows_r.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "vec_id": pa.array(rows_v, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+        }
+    )
+
+
 def _q_dwithin(sf_dir: str):
     """DWithin point join: docs within 1500 km (great-circle) of any of
     the 24 reference points — P-04 semantics with the sphere distance so
@@ -535,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "embed_dup_pairs": _q_embed_dup_pairs,
         "ann_cosine": _q_ann_cosine,
+        "ann_ivf": _q_ann_ivf,
         "dwithin": _q_dwithin,
         "antipode": _q_antipode,
         "temporal_extent": _q_temporal_extent,
@@ -615,6 +647,18 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.30""",
         "ann_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 4),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS c
+              FROM q, embeddings e),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5""",
+        "ann_ivf": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id < 4),
             scored AS (

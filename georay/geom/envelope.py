@@ -133,6 +133,24 @@ def envelope_to_string(env: Envelope) -> str:
     return ",".join(parts)
 
 
+def envelope_from_kvp(kvp: str) -> Envelope:
+    """Inverse of :func:`envelope_to_string` — parse
+    'min0,min1,max0,max1[,crsRef]' (A-04 input-edge analog for KVP
+    bbox parameters; missing CRS => default geographic / CRS84 per
+    Extents.java:296-299)."""
+    from georay.crs.identifiers import parse_epsg
+
+    parts = [p.strip() for p in kvp.split(",")]
+    if len(parts) == 4:
+        ords = [float(p) for p in parts]
+        return Envelope(*ords, 4326, crs84=True)
+    if len(parts) == 5:
+        ords = [float(p) for p in parts[:4]]
+        crs84 = parts[4].upper().endswith(("CRS84", "CRS:84"))
+        return Envelope(*ords, parse_epsg(parts[4]), crs84=crs84)
+    raise ValueError(f"Invalid bbox KVP: {kvp}")
+
+
 # ---------------------------------------------------------------------------
 # A-08 / A-09: antipodes (Extents.java:390-431)
 # ---------------------------------------------------------------------------

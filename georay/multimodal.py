@@ -134,6 +134,47 @@ class FrameSampleStage:
         )
 
 
+class AudioFeatureStage:
+    """Actor-pool stage: audio payload -> (duration, sample-rate, frame
+    features).  Codec stubbed (no audio libraries in this container);
+    fake mode derives a deterministic frame-feature matrix from the
+    payload digest — one row per fixed-hop frame, flat_map layout."""
+
+    def __init__(self, fake: bool = True, n_mels: int = 8, hop_ms: int = 1000):
+        self.fake = fake
+        self.n_mels = int(n_mels)
+        self.hop_ms = int(hop_ms)
+        if not fake:
+            raise NotImplementedError(
+                "No audio codec available; install soundfile/librosa and "
+                "implement _decode_real, or use fake=True."
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_frame, out_feat = [], [], []
+        durations = []
+        for mid, p in zip(ids, payloads):
+            h = _stable_u64(p or b"")
+            dur_ms = 1000 + (h & 0x3FFF)  # 1-17 s fake duration
+            n_frames = max(1, dur_ms // self.hop_ms)
+            rng = np.random.default_rng(h & 0xFFFFFFFF)
+            feats = rng.standard_normal((n_frames, self.n_mels)).astype(np.float32)
+            durations.append((mid, dur_ms))
+            for f in range(n_frames):
+                out_id.append(mid)
+                out_frame.append(f)
+                out_feat.append(feats[f])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_frame, pa.int32()),
+                "feature": pa.array([f for f in out_feat], pa.list_(pa.float32())),
+            }
+        )
+
+
 def synth_media_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     """Deterministic fake media table derived from any id column (for
     tests/benches: payload bytes are a digest-expanded blob)."""
