@@ -334,6 +334,25 @@ def _q_ann_cosine(sf_dir: str):
     return merge_topk_partials(partials, k=5)
 
 
+def _q_embed_lsh_pairs(sf_dir: str):
+    """LSH-bucketed embedding near-dup (scale path): hyperplane keys ->
+    bucket groupby -> exact-cosine verification. Precision 1, recall < 1
+    (rows-only check; recall measured in pytest vs the brute kernel)."""
+    import pyarrow.parquet as pq
+
+    from georay.ann import _to_matrix
+    from georay.dedup import embed_lsh_pairs
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    payload = {"ids": t.column("vec_id").to_numpy(), "vectors": _to_matrix(t.column("embedding"))}
+    ref = ray.put(payload)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # 4 planes/table: collision prob for a cos=0.30 pair is ~0.6^4=0.13 per
+    # table (~2/3 over 8 tables); true NEAR-dup workloads (cos>0.9) use the
+    # default 12 planes — see tests/test_dedup.py planted-duplicate recall
+    return embed_lsh_pairs(ds, ref, threshold=0.30, n_planes=4)
+
+
 def _q_ann_ivf(sf_dir: str):
     """IVF-bucketed ANN (the scale path): probing ALL lists makes it
     exact, so the brute-force SQL oracle applies verbatim — this checks
@@ -567,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dup_pairs": _q_embed_dup_pairs,
         "ann_cosine": _q_ann_cosine,
         "ann_ivf": _q_ann_ivf,
+        "embed_lsh_pairs": _q_embed_lsh_pairs,
         "dwithin": _q_dwithin,
         "antipode": _q_antipode,
         "temporal_extent": _q_temporal_extent,

@@ -318,6 +318,69 @@ def hyperplane_keys(vecs: np.ndarray, n_planes: int = 16, seed: int = 11) -> np.
     return out.view(np.int32).ravel()
 
 
+def embed_lsh_pairs(ds, vectors_ref, threshold: float, n_tables: int = 8, n_planes: int = 12,
+                    vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed LSH-bucketed near-dup pipeline (the scale path):
+
+    1. map_batches: ``n_tables`` independent hyperplane keys per vector ->
+       exploded (band, key, id) rows (band = table index; only 12 bytes
+       per (vector, table) ever shuffles);
+    2. :func:`band_bucket_pairs` tree merge -> candidate pairs;
+    3. verification map_batches: exact cosine against the broadcast
+       vector matrix, keep pairs >= threshold.
+
+    Recall < 1 by construction (tested against the brute kernel);
+    precision = 1 because of the exact verification step.
+    """
+    import ray as _ray
+
+    def keys_batch(batch: pa.Table) -> pa.Table:
+        col = batch.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        vecs = flat.reshape(len(col), -1)
+        ids = batch.column(id_col).to_numpy()
+        bands = []
+        keys = []
+        out_ids = []
+        for t in range(n_tables):
+            k = hyperplane_keys(vecs, n_planes=n_planes, seed=11 + t)
+            bands.append(np.full(len(ids), t, dtype=np.int32))
+            keys.append(k.astype(np.int64))
+            out_ids.append(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands), pa.int32()),
+                "key": pa.array(np.concatenate(keys), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_ids)),
+            }
+        )
+
+    cand = band_bucket_pairs(ds.map_batches(keys_batch, batch_format="pyarrow"))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        payload = _ray.get(vectors_ref) if isinstance(vectors_ref, _ray.ObjectRef) else vectors_ref
+        ids = np.asarray(payload["ids"])
+        vecs = np.asarray(payload["vectors"], dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        pos = {int(i): j for j, i in enumerate(ids)}
+        a = np.asarray([pos[int(x)] for x in batch.column("doc_a").to_pylist()], dtype=np.int64)
+        b = np.asarray([pos[int(x)] for x in batch.column("doc_b").to_pylist()], dtype=np.int64)
+        sim = np.einsum("ij,ij->i", unit[a], unit[b]) if len(a) else np.empty(0)
+        keep = sim >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(np.asarray(batch.column("doc_a").to_pylist())[keep]),
+                "vec_b": pa.array(np.asarray(batch.column("doc_b").to_pylist())[keep]),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow", batch_size=None)
+
+
 def cosine_pairs(vecs: np.ndarray, ids: np.ndarray, threshold: float) -> pa.Table:
     """Exact all-pairs cosine >= threshold within one bucket (or small side)."""
     norms = np.linalg.norm(vecs, axis=1)

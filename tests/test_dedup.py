@@ -104,3 +104,56 @@ class TestEmbeddingDedup:
         keys2 = hyperplane_keys(v.copy())
         np.testing.assert_array_equal(keys, keys2)
         assert hyperplane_keys(v[:1])[0] == keys[0]
+
+
+class TestEmbedLshPipeline:
+    def test_recall_vs_brute(self, ray_session):
+        import pyarrow.parquet as pq
+        import ray as _ray
+        import ray.data
+
+        from georay.ann import _to_matrix
+        from georay.dedup import cosine_pairs, embed_lsh_pairs
+
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"])
+        vecs = _to_matrix(t.column("embedding"))
+        ids = t.column("vec_id").to_numpy()
+        brute = cosine_pairs(vecs, ids, 0.30)
+        brute_set = set(zip(brute.column("vec_a").to_pylist(), brute.column("vec_b").to_pylist()))
+
+        ref = _ray.put({"ids": ids, "vectors": vecs})
+        ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"])
+        got = embed_lsh_pairs(ds, ref, threshold=0.30, n_planes=4).to_pandas()
+        got_set = set(zip(got["vec_a"], got["vec_b"]))
+
+        assert got_set <= brute_set  # precision 1 (exact verification)
+        recall = len(got_set) / max(1, len(brute_set))
+        # cos=0.30 is the hard regime for hyperplane LSH: collision prob
+        # ~0.6^4 per table -> expect roughly 2/3 recall over 8 tables
+        assert recall >= 0.4
+
+    def test_high_recall_on_planted_near_dups(self, ray_session):
+        import pyarrow as pa
+        import ray as _ray
+        import ray.data
+
+        from georay.dedup import cosine_pairs, embed_lsh_pairs
+
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((100, 32))
+        # plant a near-duplicate of each base vector (cos > ~0.98)
+        dups = base + 0.1 * rng.standard_normal((100, 32))
+        vecs = np.vstack([base, dups])
+        ids = np.arange(200, dtype=np.int64)
+        brute = cosine_pairs(vecs, ids, 0.9)
+        brute_set = set(zip(brute.column("vec_a").to_pylist(), brute.column("vec_b").to_pylist()))
+        assert len(brute_set) >= 90  # the planted pairs exist
+
+        tbl = pa.table({"vec_id": ids, "embedding": pa.array(list(vecs.astype(np.float32)))})
+        ds = ray.data.from_arrow(tbl)
+        ref = _ray.put({"ids": ids, "vectors": vecs})
+        got = embed_lsh_pairs(ds, ref, threshold=0.9).to_pandas()
+        got_set = set(zip(got["vec_a"], got["vec_b"]))
+        assert got_set <= brute_set
+        recall = len(got_set) / len(brute_set)
+        assert recall >= 0.9  # default 12 planes x 8 tables at cos>0.9
