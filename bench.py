@@ -30,15 +30,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def ensure_pages(sf_dir: str, n_pages: int, cache_root: str = "/tmp/georay_bench") -> str:
+def ensure_pages(sf_dir: str, n_pages: int, cache_root: str = "/tmp/georay_bench", skew: bool = False) -> str:
     """Materialize (once) a deterministic pages parquet of ~n_pages rows by
     replicating the documents table with offset doc_ids (each replica gets
-    distinct coordinates).  Partitioned files so reads split well."""
+    distinct coordinates).  Partitioned files so reads split well.
+
+    ``skew=True`` rewrites half the geo pages to one dense urban
+    coordinate (CC-realistic hot tile) to exercise the combiner-based
+    skew defence under load."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(cache_root, f"pages_{sf_name}_{n_pages}_v3")
+    suffix = "_skew" if skew else ""
+    out_dir = os.path.join(cache_root, f"pages_{sf_name}_{n_pages}_v3{suffix}")
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
@@ -71,7 +76,25 @@ def ensure_pages(sf_dir: str, n_pages: int, cache_root: str = "/tmp/georay_bench
         take = min(base, n_pages - total)
         if take < base:
             t = t.slice(0, take)
-        buf.append(synthesize_pages_batch(t))
+        pages_t = synthesize_pages_batch(t)
+        if skew:
+            import numpy as _np
+            import pyarrow.compute as _pc
+            # half the geo pages relocated to one NYC-ish block: replace
+            # the html coordinate content deterministically
+            html = pages_t.column("html").combine_chunks().to_pylist()
+            ids = pages_t.column("doc_id").to_numpy()
+            for i in _np.nonzero((ids % 2 == 0) & (ids % 10 != 7))[0]:
+                h = html[i].decode()
+                import re as _re
+                h = _re.sub(r'content="[-0-9.]+;[-0-9.]+"', 'content="40.71;-74.01"', h)
+                h = _re.sub(r'content="[-0-9.]+, [-0-9.]+"', 'content="40.71, -74.01"', h)
+                h = _re.sub(r"geo: [-0-9.]+, [-0-9.]+", "geo: 40.71, -74.01", h, count=1)
+                html[i] = h.encode()
+            pages_t = pages_t.set_column(
+                pages_t.schema.get_field_index("html"), "html", pa.array(html, pa.binary())
+            )
+        buf.append(pages_t)
         buf_rows += t.num_rows
         total += t.num_rows
         if buf_rows >= rows_per_file:
@@ -123,7 +146,13 @@ def run_flagship(pages_dir: str, num_cpus: int, res: int = 7, repeats: int = 2):
         # Block count is sized to the DATA (target ~60k rows/block), not
         # the CPU count, so runs at different parallelism process identical
         # task shapes.
-        ds = ray.data.read_parquet(pages_dir, override_num_blocks=128)
+        # prune at the read: the spatial pipeline never touches `text`
+        # (~30% of input bytes) — only needed columns leave storage
+        ds = ray.data.read_parquet(
+            pages_dir,
+            override_num_blocks=128,
+            columns=["url", "warc_ts", "html", "lang", "doc_id"],
+        )
         # batch_size=None = whole blocks: the kernels are fully vectorized,
         # so bigger batches amortize per-call overhead (default 1024-row
         # batches cost ~2x wall on this chain)
@@ -174,7 +203,7 @@ def run_queries(sf_dir: str):
 def one_run(args) -> dict:
     import ray
 
-    pages_dir = ensure_pages(args.sf_dir, args.pages)
+    pages_dir = ensure_pages(args.sf_dir, args.pages, skew=args.skew)
     head = run_flagship(pages_dir, args.num_cpus, repeats=args.repeats)
     qs = run_queries(args.sf_dir) if args.queries else {}
     ray.shutdown()
@@ -186,6 +215,7 @@ def one_run(args) -> dict:
         "queries": qs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": args.num_cpus,
+        "skew": args.skew,
         "docs": head["docs"],
         "docs_per_sec": round(head["docs_per_sec"], 1),
         "join_rows": head["join_rows"],
@@ -268,6 +298,7 @@ def main():
     ap.add_argument("--scaling-cpus", type=int, nargs=2, default=[4, 16])
     ap.add_argument("--no-queries", dest="queries", action="store_false", default=True)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--skew", action="store_true", help="hot-cell (dense urban tile) input variant")
     args = ap.parse_args()
     if args.pages is None:
         # scaling needs enough work that compute dominates fixed job latency
