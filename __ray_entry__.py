@@ -563,6 +563,28 @@ def _q_asof_purchase(sf_dir: str):
     return asof_purchase(ds)
 
 
+def _q_cell_polygons(sf_dir: str):
+    """Raster -> vector: each occupied res-4 cell back to its clip-polygon
+    bbox (A-05 envelopeAsPolygon over the tile grid; corners decoded from
+    the packed cell id so the SQL oracle mirrors the integer decode)."""
+
+    def vectorize(b: pa.Table) -> pa.Table:
+        cell = b.column("parent_cell").to_numpy()
+        minlon, minlat, maxlon, maxlat = cells.cell_to_bbox(cell)
+        return pa.table(
+            {
+                "parent_cell": b.column("parent_cell"),
+                "n_docs": b.column("n_docs"),
+                "minlon": pa.array(minlon, pa.float64()),
+                "minlat": pa.array(minlat, pa.float64()),
+                "maxlon": pa.array(maxlon, pa.float64()),
+                "maxlat": pa.array(maxlat, pa.float64()),
+            }
+        )
+
+    return _q_cell_rollup(sf_dir).map_batches(vectorize, batch_format="pyarrow")
+
+
 def _q_events_window(sf_dir: str):
     """Windowed top-1: highest-value event per user (groupby.map_groups)."""
     import pandas as pd
@@ -592,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_extent": _q_temporal_extent,
         "temporal_split": _q_temporal_split,
         "cell_rollup": _q_cell_rollup,
+        "cell_polygons": _q_cell_polygons,
         "dwithin_poly": _q_dwithin_poly,
         "segment_revenue": _q_segment_revenue,
         "geo_explode": _q_geo_explode,
@@ -792,6 +815,17 @@ def oracle_sql() -> dict[str, str]:
                      WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
                        AND p.ts < e.ts) AS last_purchase
             FROM events e""",
+        "cell_polygons": f"""{geo_pages},
+            rolled AS (
+              SELECT 4*288230376151711744 + ({iy7}//8)*536870912 + ({ix7}//8) AS parent_cell,
+                     COUNT(*) AS n_docs
+              FROM geo GROUP BY 1)
+            SELECT parent_cell, n_docs,
+                   -180.0 + (parent_cell % 536870912) * 22.5 AS minlon,
+                   -90.0 + ((parent_cell // 536870912) % 536870912 % 32) * 11.25 AS minlat,
+                   -180.0 + (parent_cell % 536870912) * 22.5 + 22.5 AS maxlon,
+                   -90.0 + ((parent_cell // 536870912) % 536870912 % 32) * 11.25 + 11.25 AS maxlat
+            FROM rolled""",
         "events_window": """
             SELECT user_id, event_id FROM (
               SELECT user_id, event_id,

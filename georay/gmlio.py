@@ -1,0 +1,317 @@
+"""GML 3.2 geometry reader: XML -> georay geometry descriptors.
+
+The reference unmarshals GML via Geotk JAXB bindings (GmlUtils.java:414-433,
+TopologicalRelationships.java:227-247).  This reader (stdlib
+``xml.etree``, no JAXB) parses the same fixture corpus into the
+descriptor IR of ``georay.geom.curves``, implementing the reference's
+resolution semantics:
+
+- srsName chain (G-05/G-06, GmlUtils.findCRSReference GmlUtils.java:299-327):
+  element's own ``@srsName`` ▸ nearest ancestor's ▸ child pos/posList's;
+  URN and http forms both accepted (R-07/R-08).
+- collection members inherit the collection's srsName (G-07).
+- posList flattened with ``srsDimension`` stride, dims > 2 dropped (G-08).
+- ArcByCenterPoint/CircleByCenterPoint keep radius uom + angles for G-01.
+
+Used by the conformance tests to parse ``/root/reference``'s own XML
+fixtures and assert the reference's exact expected values; the production
+engine's source edge is html extraction (georay.extract), not GML.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from georay.crs.identifiers import parse_epsg
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _srs_of(elem, inherited=None):
+    srs = elem.get("srsName")
+    if srs:
+        try:
+            return parse_epsg(srs)
+        except ValueError:
+            return inherited
+    return inherited
+
+
+def _child_srs(elem):
+    """Third fallback of findCRSReference: srsName on a pos/posList child."""
+    for ch in elem.iter():
+        if _local(ch.tag) in ("pos", "posList") and ch.get("srsName"):
+            try:
+                return parse_epsg(ch.get("srsName"))
+            except ValueError:
+                pass
+    return None
+
+
+def _floats(text: str) -> np.ndarray:
+    return np.fromstring(text.replace(",", " "), sep=" ") if text else np.empty(0)
+
+
+def _coords_of(elem, dim: int = 2) -> np.ndarray:
+    """Collect pos / posList children (in document order) -> (N,2)."""
+    vals = []
+    for ch in list(elem):
+        name = _local(ch.tag)
+        if name == "posList":
+            vals.append(_floats(ch.text))
+        elif name == "pos":
+            vals.append(_floats(ch.text)[:dim])
+    if not vals:
+        return np.empty((0, 2))
+    flat = np.concatenate(vals)
+    return flat.reshape(-1, dim)[:, :2]
+
+
+def _find_children(elem, *names):
+    return [ch for ch in list(elem) if _local(ch.tag) in names]
+
+
+def _segment_from_xml(seg) -> dict:
+    name = _local(seg.tag)
+    if name in ("ArcByCenterPoint", "CircleByCenterPoint"):
+        center = _coords_of(seg)[0]
+        radius_el = _find_children(seg, "radius")[0]
+        out = {
+            "type": name,
+            "center": center,
+            "radius": float(radius_el.text),
+            "radius_uom": radius_el.get("uom", "m"),
+        }
+        start = _find_children(seg, "startAngle")
+        end = _find_children(seg, "endAngle")
+        if start:
+            out["start_angle"] = float(start[0].text)
+        if end:
+            out["end_angle"] = float(end[0].text)
+        return out
+    type_map = {
+        "LineStringSegment": "LineString",
+        "GeodesicString": "GeodesicString",
+        "Arc": "Arc",
+        "ArcString": "ArcString",
+        "Circle": "Circle",
+    }
+    if name not in type_map:
+        raise ValueError(f"Unsupported curve segment element: {name}")
+    return {"type": type_map[name], "coords": _coords_of(seg)}
+
+
+def _ring_from_xml(ring, epsg) -> dict:
+    name = _local(ring.tag)
+    if name == "LinearRing":
+        return {"kind": "LinearRing", "coords": _coords_of(ring), "epsg": epsg}
+    if name == "Ring":
+        members = []
+        for cm in _find_children(ring, "curveMember", "curveMembers"):
+            for geom in list(cm):
+                members.append(parse_geometry(geom, inherited_epsg=epsg))
+        return {"kind": "Ring", "members": members, "epsg": epsg}
+    raise ValueError(f"Unsupported ring element: {name}")
+
+
+def parse_geometry(elem, inherited_epsg=None) -> dict:
+    """GML element -> georay geometry descriptor (kind/epsg/...)."""
+    name = _local(elem.tag)
+    epsg = _srs_of(elem, inherited_epsg) or _child_srs(elem)
+
+    if name == "Point":
+        return {"kind": "Point", "coords": _coords_of(elem)[0], "epsg": epsg}
+
+    if name == "LineString":
+        return {"kind": "LineString", "coords": _coords_of(elem), "epsg": epsg}
+
+    if name == "Curve":
+        segs = []
+        for segments in _find_children(elem, "segments"):
+            for seg in list(segments):
+                segs.append(_segment_from_xml(seg))
+        return {"kind": "Curve", "segments": segs, "epsg": epsg}
+
+    if name == "CompositeCurve":
+        members = []
+        for cm in _find_children(elem, "curveMember", "curveMembers"):
+            for geom in list(cm):
+                members.append(parse_geometry(geom, inherited_epsg=epsg))
+        return {"kind": "CompositeCurve", "members": members, "epsg": epsg}
+
+    if name == "OrientableCurve":
+        base = None
+        for bc in _find_children(elem, "baseCurve"):
+            for geom in list(bc):
+                base = parse_geometry(geom, inherited_epsg=epsg)
+        return {
+            "kind": "OrientableCurve",
+            "orientation": elem.get("orientation", "+"),
+            "base": base,
+            "epsg": epsg or (base or {}).get("epsg"),
+        }
+
+    if name == "Polygon":
+        exterior = None
+        interiors = []
+        for ext in _find_children(elem, "exterior"):
+            exterior = _ring_from_xml(list(ext)[0], epsg)
+        for inte in _find_children(elem, "interior"):
+            interiors.append(_ring_from_xml(list(inte)[0], epsg))
+        return {"kind": "Polygon", "exterior": exterior, "interiors": interiors, "epsg": epsg}
+
+    if name == "Surface":
+        patches = []
+        for patches_el in _find_children(elem, "patches"):
+            for patch in list(patches_el):
+                pname = _local(patch.tag)
+                kind = {"PolygonPatch": "Polygon", "Rectangle": "Rectangle", "Triangle": "Triangle"}.get(
+                    pname, "Polygon"
+                )
+                exterior = None
+                interiors = []
+                for ext in _find_children(patch, "exterior"):
+                    exterior = _ring_from_xml(list(ext)[0], epsg)
+                for inte in _find_children(patch, "interior"):
+                    interiors.append(_ring_from_xml(list(inte)[0], epsg))
+                patches.append({"patch": kind, "exterior": exterior, "interiors": interiors})
+        return {"kind": "Surface", "patches": patches, "epsg": epsg}
+
+    if name in ("MultiCurve", "MultiSurface", "MultiPoint", "MultiGeometry"):
+        members = []
+        member_tags = (
+            "curveMember", "curveMembers", "surfaceMember", "surfaceMembers",
+            "pointMember", "pointMembers", "geometryMember", "geometryMembers",
+        )
+        for mm in _find_children(elem, *member_tags):
+            for geom in list(mm):
+                # members lacking srsName inherit the collection's (G-07)
+                members.append(parse_geometry(geom, inherited_epsg=epsg))
+        return {"kind": name, "members": members, "epsg": epsg}
+
+    raise ValueError(f"Unsupported GML geometry element: {name}")
+
+
+def parse_gml_file(path: str) -> dict:
+    """Parse a GML fixture file's document element (G-04 analog)."""
+    root = ET.parse(path).getroot()
+    return parse_geometry(root)
+
+
+def prepare_geometry(desc: dict, target_epsg: int = 4326):
+    """Descriptor -> computational geometry in ONE right-handed CRS — the
+    EP-1 pipeline (unmarshal -> toJTSGeometry -> setCRS,
+    TopologicalRelationships.java:204-271):
+
+    densify curves (G-01/C-*), swap to right-handed axis order (R-05),
+    reproject into ``target_epsg`` (R-01), dedup @1ppm.  Returns
+    ('point', (x, y)) | ('line', LineString) | ('polygon', Polygon) |
+    ('multi', [prepared...]).
+    """
+    from georay.crs.identifiers import axis_order_latlon
+    from georay.crs.projections import transformer
+    from georay.geom.curves import curve_coordinate_list
+    from georay.geom.linestring import LineString
+    from georay.geom.polygon import Polygon
+    from georay.geom.rings import remove_consecutive_duplicates
+
+    kind = desc["kind"]
+    epsg = desc.get("epsg") or 4326
+
+    def harmonize(coords: np.ndarray) -> np.ndarray:
+        coords = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+        if axis_order_latlon(epsg):
+            coords = coords[:, ::-1]
+        if int(epsg) != int(target_epsg):
+            x, y = transformer(int(epsg), int(target_epsg)).transform(coords[:, 0], coords[:, 1])
+            coords = np.column_stack([x, y])
+        return coords
+
+    if kind == "Point":
+        p = harmonize(desc["coords"])[0]
+        return ("point", (float(p[0]), float(p[1])))
+    if kind in ("LineString", "Curve", "CompositeCurve", "OrientableCurve", "Ring", "LinearRing"):
+        coords = curve_coordinate_list(desc, epsg)
+        coords = remove_consecutive_duplicates(harmonize(coords), 1.0)
+        return ("line", LineString(coords, target_epsg))
+    if kind in ("Polygon", "Surface"):
+        from georay.geom.curves import surface_exterior_boundary, surface_interior_boundaries
+
+        ext = harmonize(surface_exterior_boundary(desc, epsg))
+        holes = [harmonize(h) for h in surface_interior_boundaries(desc, epsg)]
+        return ("polygon", Polygon(ext, holes, target_epsg))
+    if kind.startswith("Multi"):
+        return ("multi", [prepare_geometry(m, target_epsg) for m in desc["members"]])
+    raise ValueError(f"Unsupported geometry kind: {kind}")
+
+
+def is_spatially_related(predicate: str, desc1: dict, desc2: dict) -> bool:
+    """EP-1 end-to-end: the reference's ``isSpatiallyRelated(pred, g1, g2)``
+    over parsed GML descriptors — harmonize into g2's CRS family (here:
+    EPSG:4326 lon/lat) and evaluate the predicate for the operand-type
+    combinations the conformance corpus exercises."""
+    import numpy as np
+
+    pred = predicate.upper()
+    g1 = prepare_geometry(desc1)
+    g2 = prepare_geometry(desc2)
+
+    def pairs(g):
+        return g[1] if g[0] == "multi" else [g]
+
+    def relate(a, b):
+        (ka, va), (kb, vb) = a, b
+        if ka == "point" and kb == "polygon":
+            return bool(vb.relate_points(np.array([va[0]]), np.array([va[1]]), pred)[0])
+        if ka == "polygon" and kb == "point":
+            inv = {"WITHIN": "CONTAINS", "CONTAINS": "WITHIN"}.get(pred, pred)
+            return bool(va.relate_points(np.array([vb[0]]), np.array([vb[1]]), inv)[0])
+        if ka == "line" and kb == "line":
+            hit = va.intersects_line(vb)
+        elif ka == "line" and kb == "polygon":
+            hit = va.intersects_polygon(vb)
+        elif ka == "polygon" and kb == "line":
+            hit = vb.intersects_polygon(va)
+        elif ka == "point" and kb == "point":
+            hit = bool(np.allclose(va, vb))
+        else:
+            raise ValueError(f"Unsupported operand pair: {ka} vs {kb}")
+        if pred == "INTERSECTS":
+            return hit
+        if pred == "DISJOINT":
+            return not hit
+        raise ValueError(f"Predicate {pred} not defined for {ka} vs {kb}")
+
+    results = [relate(a, b) for a in pairs(g1) for b in pairs(g2)]
+    if pred == "DISJOINT":
+        return all(results)
+    return any(results)
+
+
+def parse_envelope_file(path: str):
+    """ows:BoundingBox / ows:WGS84BoundingBox / gml:Envelope -> Envelope
+    (Extents.createEnvelope, A-04: missing CRS or CRS84 => default
+    geographic lon/lat)."""
+    from georay.geom.envelope import Envelope
+
+    root = ET.parse(path).getroot()
+    name = _local(root.tag)
+    crs_ref = root.get("crs") or root.get("srsName")
+    lower = upper = None
+    for ch in root.iter():
+        ln = _local(ch.tag)
+        if ln in ("LowerCorner", "lowerCorner"):
+            lower = _floats(ch.text)
+        elif ln in ("UpperCorner", "upperCorner"):
+            upper = _floats(ch.text)
+    if lower is None or upper is None:
+        raise ValueError(f"No corners in {name}")
+    if name == "WGS84BoundingBox" or not crs_ref:
+        return Envelope(lower[0], lower[1], upper[0], upper[1], 4326, crs84=True)
+    epsg = parse_epsg(crs_ref)
+    crs84 = crs_ref.upper().endswith(("CRS84", "CRS:84"))
+    return Envelope(lower[0], lower[1], upper[0], upper[1], epsg, crs84=crs84)
