@@ -59,7 +59,20 @@ def flagship(
     """
     geo = geo_dataset(sf_dir, res=res)
     if out_dir:
-        geo.write_parquet(f"{out_dir}/tiles")
+        # tile output partitioned by coarse cell prefix (one directory per
+        # res-2 parent cell), never one giant file — the resumable layout
+        # SURVEY.md §2.7 / §4 requires
+        def add_prefix(b):
+            import pyarrow as _pa
+
+            from georay import cells as _cells
+
+            prefix = _cells.cell_parent(b.column("cell").to_numpy(), 2)
+            return b.append_column("cell_prefix", _pa.array(prefix, _pa.int64()))
+
+        geo.map_batches(add_prefix, batch_format="pyarrow").write_parquet(
+            f"{out_dir}/tiles", partition_cols=["cell_prefix"]
+        )
         import ray.data as rd
 
         geo = rd.read_parquet(f"{out_dir}/tiles")

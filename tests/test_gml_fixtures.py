@@ -29,6 +29,10 @@ from georay.uom import length_in_meters
 
 FIX = "/root/reference/src/test/resources"
 
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.isdir(FIX), reason="reference fixture corpus not present"
+)
+
 
 def gml(name):
     return parse_gml_file(f"{FIX}/gml/{name}")
