@@ -65,6 +65,21 @@ def _extract_pair_at(html: pa.Array, pattern: str, idx: np.ndarray, lat: np.ndar
     lon[idx[hit]] = plon[hit]
 
 
+def _to_utf8_strings(html: pa.Array) -> pa.Array:
+    """binary -> string, tolerating invalid UTF-8 (real web crawls contain
+    it): the fast path is a zero-copy cast; on failure only the offending
+    rows are re-decoded with replacement characters."""
+    if not (pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type)):
+        return html
+    try:
+        return pc.cast(html, pa.string())
+    except pa.ArrowInvalid:
+        return pa.array(
+            [None if v is None else v.decode("utf-8", errors="replace") for v in html.to_pylist()],
+            pa.string(),
+        )
+
+
 def extract_geo_columns(html: pa.Array):
     """html (binary/string) column -> (lon, lat, epsg, has_geo) numpy arrays.
 
@@ -73,8 +88,7 @@ def extract_geo_columns(html: pa.Array):
     overrides the EPSG:4326 default; unknown srsName values fall back to
     4326 rather than poisoning the batch.
     """
-    if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
-        html = pc.cast(html, pa.string())
+    html = _to_utf8_strings(html)
     n = len(html)
     lat = np.full(n, np.nan)
     lon = np.full(n, np.nan)
@@ -118,9 +132,7 @@ def extract_all_geo_batch(batch: pa.Table) -> pa.Table:
     """
     import polars as pl
 
-    html = batch.column("html").combine_chunks()
-    if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
-        html = pc.cast(html, pa.string())
+    html = _to_utf8_strings(batch.column("html").combine_chunks())
     doc_id = batch.column("doc_id").to_numpy()
     n = len(html)
 
