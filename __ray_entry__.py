@@ -32,7 +32,6 @@ from georay.pipelines.pages import PAGES_SQL_CTE, read_pages
 from georay.pipelines.polygons import (
     N_RECT_COLS,
     N_RECT_ROWS,
-    N_STARS,
     polygon_payload,
     rect_bounds,
     star_edges_sql_values,
@@ -464,8 +463,6 @@ def _q_temporal_split(sf_dir: str):
 
 def _q_cell_rollup(sf_dir: str):
     """Hierarchical rollup: res-7 cells -> res-4 parents, doc counts."""
-    from georay.stages.aggregate import merge_cell_partials
-
     def parentize(b: pa.Table) -> pa.Table:
         parent = cells.cell_parent(b.column("cell").to_numpy(), 4)
         t = pa.table({"parent_cell": pa.array(parent, pa.int64())})

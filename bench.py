@@ -79,7 +79,6 @@ def ensure_pages(sf_dir: str, n_pages: int, cache_root: str = "/tmp/georay_bench
         pages_t = synthesize_pages_batch(t)
         if skew:
             import numpy as _np
-            import pyarrow.compute as _pc
             # half the geo pages relocated to one NYC-ish block: replace
             # the html coordinate content deterministically
             html = pages_t.column("html").combine_chunks().to_pylist()

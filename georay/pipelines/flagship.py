@@ -10,8 +10,6 @@ already combined down to one row per (block, cell).
 
 from __future__ import annotations
 
-import pyarrow as pa
-
 import ray
 
 from georay.pipelines.pages import read_pages

@@ -1,7 +1,6 @@
 """ANN: brute-force cosine top-k and IVF bucketed search."""
 
 import numpy as np
-import pytest
 
 from georay.ann import IVFKNN, cosine_topk
 

@@ -1,7 +1,6 @@
 """Per-partition checkpointing: lineage records + resume-after-kill."""
 
 import glob
-import json
 import os
 
 import pyarrow.parquet as pq

@@ -2,11 +2,9 @@
 pages (UTM srsName meta) — the R-01 harmonization path exercised through
 the full Ray pipeline, not just the stage kernel."""
 
-import numpy as np
 import pyarrow as pa
 import pytest
 
-from georay.crs.projections import transformer
 from georay.geom.envelope import envelope_from_kvp, envelope_to_string, Envelope
 from georay.multimodal import AudioFeatureStage, synth_media_batch
 

@@ -5,7 +5,6 @@ import pyarrow as pa
 import pytest
 
 from georay.crs.geodesy import haversine_m
-from georay.geom.polygon import Polygon
 from georay.stages.join import DWithinJoinActor, KNNJoinActor
 
 

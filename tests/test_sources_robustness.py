@@ -1,6 +1,5 @@
 """Source-format plurality and invalid-UTF-8 robustness."""
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.csv
 import pyarrow.parquet as pq
