@@ -19,3 +19,27 @@ caller (driver, bench.py, or the pytest fixture).
 """
 
 __version__ = "0.1.0"
+
+# Convenience top-level API (lazy: keep `import georay` light for workers).
+
+
+def __getattr__(name):
+    _EXPORTS = {
+        "read_pages": ("georay.pipelines.pages", "read_pages"),
+        "read_table": ("georay.sources", "read_table"),
+        "geo_dataset": ("georay.pipelines.flagship", "geo_dataset"),
+        "flagship": ("georay.pipelines.flagship", "flagship"),
+        "parse_gml_file": ("georay.gmlio", "parse_gml_file"),
+        "is_spatially_related": ("georay.gmlio", "is_spatially_related"),
+        "latlng_to_cell": ("georay.cells", "latlng_to_cell"),
+        "grid_disk": ("georay.cells", "grid_disk"),
+        "transformer": ("georay.crs.projections", "transformer"),
+        "orthodromic_distance": ("georay.crs.geodesy", "orthodromic_distance"),
+        "geodesic_destination": ("georay.crs.geodesy", "geodesic_destination"),
+    }
+    if name in _EXPORTS:
+        import importlib
+
+        mod, attr = _EXPORTS[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'georay' has no attribute {name!r}")

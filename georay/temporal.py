@@ -117,6 +117,17 @@ def add_us(ts, amount_us):
     return np.asarray(ts, dtype=np.int64) + np.int64(amount_us)
 
 
+def format_primitive(begin_us: int, end_us: int) -> str:
+    """Condensed ISO-8601 display form
+    (TemporalUtils.temporalGeometricPrimitiveToString): 'Instant: T' for
+    degenerate periods, else 'Period: T1/T2'."""
+    b = np.datetime64(int(begin_us), "us")
+    e = np.datetime64(int(end_us), "us")
+    if begin_us == end_us:
+        return f"Instant: {b}"
+    return f"Period: {b}/{e}"
+
+
 def split_interval(begin_us: int, end_us: int, size: int):
     """T-06: split [begin, end) into ``size`` contiguous sub-intervals;
     interval n MEETS n+1.  Duration division truncates like

@@ -100,3 +100,12 @@ class TestExtentAndSplit:
         parts = split_interval(0, 10, 3)  # duration 3 each, ends at 9
         assert parts[-1, 1] == 9
         assert (np.diff(parts[:, 0]) == 3).all()
+
+
+class TestFormatter:
+    def test_instant_and_period_strings(self):
+        from georay.temporal import format_primitive
+
+        assert format_primitive(0, 0) == "Instant: 1970-01-01T00:00:00.000000"
+        s = format_primitive(0, 3_600_000_000)
+        assert s.startswith("Period: 1970-01-01T00:00:00") and "/" in s
