@@ -10,10 +10,13 @@ Headline pipeline (BASELINE.md protocol): read cached synthetic pages
 parquet -> extract -> reproject -> cellize -> broadcast spatial join ->
 partial+final per-cell aggregate; docs/sec = pages / wall.
 
---scaling runs the SAME job at num_cpus=8 and num_cpus=32 in fresh
-subprocesses on the same input and reports both throughputs plus
-scaling_efficiency = dps@32 / (4 * dps@8)  (sandbox proxy for the
-N -> 4N node rule, per driver instruction).
+--scaling runs the SAME job at two parallelism levels (default
+num_cpus=4 and 16 — both under this sandbox's ~23 effective cores; use
+--scaling-cpus 8 32 for the wider spread) in fresh subprocesses on the
+same input and reports both throughputs plus
+scaling_efficiency = dps@4N / (4 * dps@N)  (sandbox proxy for the
+N -> 4N node rule, per driver instruction), alongside the measured
+hardware CPU-scaling ceiling.
 """
 
 from __future__ import annotations
