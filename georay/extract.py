@@ -92,30 +92,46 @@ def extract_geo_columns(html: pa.Array):
     n = len(html)
     lat = np.full(n, np.nan)
     lon = np.full(n, np.nan)
+    # first pattern: a full extract_regex pass costs the same as the
+    # cheap marker scan would, so run it directly; later patterns only
+    # touch the still-unresolved subset (marker scan + gather there).
+    first = True
     for marker, pattern in _CHAIN:
         need = np.isnan(lat)
         if not need.any():
             break
-        may = pc.match_substring(html, marker).to_numpy(zero_copy_only=False)
-        idx = np.nonzero(need & may)[0]
+        if first:
+            st = pc.extract_regex(html, pattern)
+            plat = pc.cast(pc.struct_field(st, "glat"), pa.float64()).to_numpy(zero_copy_only=False)
+            plon = pc.cast(pc.struct_field(st, "glon"), pa.float64()).to_numpy(zero_copy_only=False)
+            hit = ~np.isnan(plat)
+            lat[hit] = plat[hit]
+            lon[hit] = plon[hit]
+            first = False
+            continue
+        idx = np.nonzero(need)[0]
+        sub = html.take(pa.array(idx, pa.int64()))
+        may = pc.match_substring(sub, marker).to_numpy(zero_copy_only=False)
+        idx = idx[may]
         if len(idx):
             _extract_pair_at(html, pattern, idx, lat, lon)
 
-    # CRS resolution: explicit srsName meta ▸ default 4326 (G-06 chain)
+    # CRS resolution: explicit srsName meta ▸ default 4326 (G-06 chain).
+    # srsName cardinality is tiny: parse np.unique values once, gather.
     epsg = np.full(n, 4326, dtype=np.int32)
     srs_may = pc.match_substring(html, '"geo.srsName"').to_numpy(zero_copy_only=False)
     sidx = np.nonzero(srs_may)[0]
     if len(sidx):
         sub = html.take(pa.array(sidx, pa.int64()))
         srs = pc.struct_field(pc.extract_regex(sub, SRS_RE), "srs").to_numpy(zero_copy_only=False)
-        uniq = {}
-        for s in set(s for s in srs if s is not None):
+        uniq, inv = np.unique(np.where(srs == None, "", srs).astype(str), return_inverse=True)  # noqa: E711
+        codes = np.empty(len(uniq), dtype=np.int32)
+        for i, u in enumerate(uniq):
             try:
-                uniq[s] = parse_epsg(str(s))
+                codes[i] = parse_epsg(u) if u else 4326
             except ValueError:
-                uniq[s] = 4326
-        vals = np.array([uniq.get(s, 4326) if s is not None else 4326 for s in srs], dtype=np.int32)
-        epsg[sidx] = vals
+                codes[i] = 4326
+        epsg[sidx] = codes[inv]
 
     has_geo = ~np.isnan(lat)
     return lon, lat, epsg, has_geo
