@@ -292,6 +292,39 @@ def is_spatially_related(predicate: str, desc1: dict, desc2: dict) -> bool:
     return any(results)
 
 
+def parse_temporal(elem):
+    """gml:TimeInstant / gml:TimePeriod -> (begin_us, end_us) UTC epoch
+    microseconds (T-01, GmlUtils.gmlToTemporalGeometricPrimitive,
+    GmlUtils.java:466-506).  Only full ISO-8601 date-times are accepted;
+    date-only / gYear positions raise (reference rejects non-instant
+    values, GmlUtils.java:480-483)."""
+    from datetime import datetime, timezone
+
+    def to_us(text: str) -> int:
+        s = text.strip()
+        if "T" not in s or s.endswith("T") or s.endswith("TZ"):
+            raise ValueError(f"Not an ISO-8601 instant: {text}")
+        dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+
+    name = _local(elem.tag)
+    if name == "TimeInstant":
+        pos = _find_children(elem, "timePosition")[0]
+        t = to_us(pos.text)
+        return t, t
+    if name == "TimePeriod":
+        begin = _find_children(elem, "beginPosition")[0]
+        end = _find_children(elem, "endPosition")[0]
+        return to_us(begin.text), to_us(end.text)
+    raise ValueError(f"Unsupported temporal element: {name}")
+
+
+def parse_temporal_file(path: str):
+    return parse_temporal(ET.parse(path).getroot())
+
+
 def parse_envelope_file(path: str):
     """ows:BoundingBox / ows:WGS84BoundingBox / gml:Envelope -> Envelope
     (Extents.createEnvelope, A-04: missing CRS or CRS84 => default

@@ -193,3 +193,32 @@ class TestEnvelopesFromFiles:
     def test_wgs84_bounding_box_default_geographic(self):
         env = parse_envelope_file(f"{FIX}/envelopes/WGS84BoundingBox.xml")
         assert env.crs84
+
+
+class TestTemporalFromFiles:
+    """T-01 parsing over the reference's gml/temporal fixtures."""
+
+    def test_time_instant_with_offset(self):
+        from georay.gmlio import parse_temporal_file
+
+        b, e = parse_temporal_file(f"{FIX}/gml/temporal/TimeInstant-Offset.xml")
+        assert b == e
+        # 2016-06-30T12:51:29-07:00 == 19:51:29Z
+        assert b == 1467316289_000000
+
+    def test_time_period_utc(self):
+        from georay.gmlio import parse_temporal_file
+        from georay.temporal import relative_position, DURING
+
+        b, e = parse_temporal_file(f"{FIX}/gml/temporal/TimePeriod-UTC.xml")
+        assert b < e
+        # the offset instant falls DURING the period (cross-fixture check)
+        i, _ = parse_temporal_file(f"{FIX}/gml/temporal/TimeInstant-Offset.xml")
+        assert relative_position(i, i, b, e) == DURING
+
+    def test_date_only_rejected(self):
+        # GmlUtils.java:480-483: non-instant temporal values rejected
+        from georay.gmlio import parse_temporal_file
+
+        with pytest.raises(ValueError):
+            parse_temporal_file(f"{FIX}/gml/temporal/TimeInstant-Date.xml")
