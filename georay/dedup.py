@@ -366,17 +366,17 @@ def embed_lsh_pairs(ds, vectors_ref, threshold: float, n_tables: int = 8, n_plan
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         unit = vecs / norms[:, None]
-        pos = {int(i): j for j, i in enumerate(ids)}
-        a = np.asarray([pos[int(x)] for x in batch.column("doc_a").to_pylist()], dtype=np.int64)
-        b = np.asarray([pos[int(x)] for x in batch.column("doc_b").to_pylist()], dtype=np.int64)
+        # vectorized id -> row mapping (a python dict over millions of
+        # candidate pairs dominates the stage otherwise)
+        order = np.argsort(ids, kind="stable")
+        sorted_ids = np.asarray(ids)[order]
+        da = batch.column("doc_a").to_numpy()
+        db = batch.column("doc_b").to_numpy()
+        a = order[np.searchsorted(sorted_ids, da)]
+        b = order[np.searchsorted(sorted_ids, db)]
         sim = np.einsum("ij,ij->i", unit[a], unit[b]) if len(a) else np.empty(0)
         keep = sim >= threshold
-        return pa.table(
-            {
-                "vec_a": pa.array(np.asarray(batch.column("doc_a").to_pylist())[keep]),
-                "vec_b": pa.array(np.asarray(batch.column("doc_b").to_pylist())[keep]),
-            }
-        )
+        return pa.table({"vec_a": pa.array(da[keep]), "vec_b": pa.array(db[keep])})
 
     return cand.map_batches(verify, batch_format="pyarrow", batch_size=None)
 
