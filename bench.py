@@ -50,6 +50,8 @@ def ensure_pages(sf_dir: str, n_pages: int, cache_root: str = "/tmp/georay_bench
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
+    if n_pages > 2_000_000 and not skew:
+        return _ensure_pages_ray(sf_dir, n_pages, out_dir)
     os.makedirs(out_dir, exist_ok=True)
     from georay.pipelines.pages import synthesize_pages_batch
 
@@ -104,6 +106,62 @@ def ensure_pages(sf_dir: str, n_pages: int, cache_root: str = "/tmp/georay_bench
     flush()
     open(done, "w").write(str(total))
     log(f"pages cache built: {out_dir} rows={total}")
+    return out_dir
+
+
+def _ensure_pages_ray(sf_dir: str, n_pages: int, out_dir: str) -> str:
+    """Large caches synthesize in parallel through Ray itself: replicate
+    the documents table as (rep, slice) work items, synthesize pages per
+    batch, write partitioned parquet."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+
+    from georay.pipelines.pages import synthesize_pages_batch
+
+    tmp_dir = out_dir + ".building"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    base = docs.num_rows
+    reps = (n_pages + base - 1) // base
+    docs_ref = None
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", include_dashboard=False)
+    docs_ref = ray.put(docs)
+
+    def synth(batch):
+        t = ray.get(docs_ref)
+        outs = []
+        for rep in batch["rep"]:
+            r = int(rep)
+            tt = t
+            if r:
+                ids = pa.compute.add(tt.column("doc_id"), r * 10_000_000)
+                tt = tt.set_column(tt.schema.get_field_index("doc_id"), "doc_id", ids)
+            outs.append(synthesize_pages_batch(tt))
+        return pa.concat_tables(outs)
+
+    (
+        ray.data.range(reps)
+        .map_batches(lambda b: pa.table({"rep": pa.array(b["id"], pa.int64())}), batch_format="numpy")
+        .map_batches(synth, batch_format="numpy", batch_size=4)
+        .write_parquet(tmp_dir)
+    )
+    os.rename(tmp_dir, out_dir)
+    # normalize file names for the reader glob
+    for i, f in enumerate(sorted(os.listdir(out_dir))):
+        if f.endswith(".parquet") and not f.startswith("part-"):
+            os.rename(os.path.join(out_dir, f), os.path.join(out_dir, f"part-{i:05d}.parquet"))
+    open(os.path.join(out_dir, "_DONE"), "w").write(str(reps * base))
+    log(f"pages cache built via ray: {out_dir} rows~{reps * base}")
+    if owns_ray:
+        ray.shutdown()
     return out_dir
 
 
