@@ -93,6 +93,16 @@ def main(argv=None):
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_resume)
 
+    b = sub.add_parser("bench", help="run the repo bench harness (same flags as bench.py)")
+    b.add_argument("rest", nargs=argparse.REMAINDER)
+    def cmd_bench(args):
+        import runpy
+        import sys as _sys
+
+        _sys.argv = ["bench.py"] + [a for a in args.rest if a != "--"]
+        runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"), run_name="__main__")
+    b.set_defaults(fn=cmd_bench)
+
     args = ap.parse_args(argv)
     args.fn(args)
 

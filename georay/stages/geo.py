@@ -15,7 +15,7 @@ from georay import cells
 from georay.crs.projections import transformer
 from georay.extract import extract_geo_batch
 
-__all__ = ["extract_geo_batch", "filter_has_geo", "Reproject", "cellize"]
+__all__ = ["extract_geo_batch", "filter_has_geo", "Reproject", "cellize", "GeoExtractActor"]
 
 
 def filter_has_geo(batch: pa.Table) -> pa.Table:
@@ -57,6 +57,32 @@ class Reproject:
         out = out.append_column(self.lat_col, pa.array(y, pa.float64()))
         out = out.append_column("epsg", pa.array(np.full(len(x), self.dst, np.int32)))
         return out
+
+
+class GeoExtractActor:
+    """Fused geocoding-extraction actor (the north_star stage shape):
+    one actor-pool stage doing extract -> filter -> reproject -> cellize
+    over zero-copy Arrow batches, with the CRS transformer cache and the
+    cell-grid parameters warmed once in ``__init__``.
+
+    Use via ``map_batches(GeoExtractActor, fn_constructor_kwargs={...},
+    concurrency=N)``; the task-path equivalent is the 4-stage chain in
+    ``georay.pipelines.flagship.geo_dataset`` (same outputs, task workers
+    warm the same per-process caches).
+    """
+
+    def __init__(self, res: int = 7, dst_epsg: int = 4326, keep_text: bool = False):
+        self.res = int(res)
+        self.keep_text = keep_text
+        self.reproject = Reproject(dst_epsg)
+        transformer(32610, dst_epsg)  # warm a representative transform + EPSG registry
+        transformer(3857, dst_epsg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = extract_geo_batch(batch, keep_text=self.keep_text)
+        b = filter_has_geo(b)
+        b = self.reproject(b)
+        return cellize(b, self.res)
 
 
 def cellize(batch: pa.Table, res: int = 7) -> pa.Table:

@@ -94,3 +94,28 @@ class TestAudioStage:
     def test_real_codec_stubbed(self):
         with pytest.raises(NotImplementedError):
             AudioFeatureStage(fake=False)
+
+
+class TestGeoExtractActor:
+    def test_fused_actor_matches_task_chain(self, ray_session):
+        import ray.data
+
+        from georay.stages.geo import GeoExtractActor, Reproject, cellize, extract_geo_batch, filter_has_geo
+
+        pages = make_pages()
+        via_actor = (
+            ray.data.from_arrow(pages)
+            .map_batches(GeoExtractActor, fn_constructor_kwargs={"res": 7}, batch_format="pyarrow", concurrency=1)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        via_tasks = (
+            ray.data.from_arrow(pages)
+            .map_batches(lambda b: extract_geo_batch(b, keep_text=False), batch_format="pyarrow")
+            .map_batches(filter_has_geo, batch_format="pyarrow")
+            .map_batches(Reproject(4326), batch_format="pyarrow")
+            .map_batches(lambda b: cellize(b, 7), batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert via_actor.equals(via_tasks)
