@@ -25,8 +25,10 @@ def _resolve(x):
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
+    if n == 0:  # reshape(0, -1) is invalid; empty blocks must pass through
+        return np.empty((0, 0))
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
 
 
@@ -67,6 +69,14 @@ class BruteForceKNN:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    self.id_col: pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         cand = _to_matrix(batch.column(self.vec_col))
         ids = batch.column(self.id_col).to_numpy()
         top_ids, top_sims = cosine_topk(self.queries, cand, ids, self.k)

@@ -335,6 +335,11 @@ def embed_lsh_pairs(ds, vectors_ref, threshold: float, n_tables: int = 8, n_plan
     import ray as _ray
 
     def keys_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
         col = batch.column(vec_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()

@@ -145,7 +145,19 @@ def merge_patch_rings(rings: list[np.ndarray]) -> np.ndarray:
     remaining = [e for e in order if e in edges]
     if not remaining:
         return rings[0]
-    nxt = {a: b for a, b in remaining}
+    nxt = {}
+    for a, b in remaining:
+        if a in nxt:
+            # a vertex with two outgoing boundary edges means the union is
+            # a figure-8 / multi-ring complex this edge-walk cannot
+            # represent as one exterior ring — fail loudly rather than
+            # silently dropping a lobe
+            raise ValueError(
+                "Patch union boundary revisits a vertex (non-simple exterior); "
+                "merge_patch_rings only supports edge-adjacent patch complexes "
+                "with a simple outer ring"
+            )
+        nxt[a] = b
     start = remaining[0][0]
     out = [start]
     cur = start
@@ -154,6 +166,11 @@ def merge_patch_rings(rings: list[np.ndarray]) -> np.ndarray:
         out.append(cur)
         if cur == start:
             break
+    if len(out) - 1 < len(remaining):
+        raise ValueError(
+            "Patch union produced multiple boundary rings; "
+            "merge_patch_rings only returns a single simple exterior"
+        )
     return np.asarray(out, dtype=np.float64)
 
 

@@ -75,21 +75,25 @@ class Polygon:
         interior = np.zeros(n, dtype=bool)
         boundary = np.zeros(n, dtype=bool)
         eps2 = eps * eps
+        # edge-only invariants hoisted out of the point-chunk loop.
+        # NOTE: the crossing formula keeps the exact (cpy-y1)*dx/dy op
+        # order — the SQL oracles mirror it term for term, so factoring
+        # dx/dy into one constant would change last-ulp results.
+        dx = x2 - x1
+        dy = y2 - y1
+        seg_len2 = dx * dx + dy * dy
+        seg_len2 = np.where(seg_len2 == 0.0, 1.0, seg_len2)
         chunk = max(1, int(4_000_000 // max(1, len(x1))))
         for s in range(0, n, chunk):
             cpx = px[s : s + chunk, None]
             cpy = py[s : s + chunk, None]
             cond = (y1 > cpy) != (y2 > cpy)
             with np.errstate(divide="ignore", invalid="ignore"):
-                xin = x1 + (cpy - y1) * (x2 - x1) / (y2 - y1)
+                xin = x1 + (cpy - y1) * dx / dy
             crossings = np.count_nonzero(cond & (cpx < xin), axis=1)
             interior[s : s + chunk] = (crossings & 1).astype(bool)
 
             # boundary: squared distance point->segment <= eps^2
-            dx = x2 - x1
-            dy = y2 - y1
-            seg_len2 = dx * dx + dy * dy
-            seg_len2 = np.where(seg_len2 == 0.0, 1.0, seg_len2)
             t = ((cpx - x1) * dx + (cpy - y1) * dy) / seg_len2
             t = np.clip(t, 0.0, 1.0)
             ddx = cpx - (x1 + t * dx)

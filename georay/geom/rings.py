@@ -18,11 +18,13 @@ from georay.crs.projections import transformer
 
 def _is_dup(prev: np.ndarray, nxt: np.ndarray, tol: float) -> bool:
     # relative comparison: |next/prev - 1| <= tol per ordinate
-    # (GeodesyUtils.java:291-293); division by zero -> inf (not a dup),
-    # matching Java double semantics.
+    # (GeodesyUtils.java:291-293).  Java double semantics carried exactly:
+    # x/0 -> inf (not a dup) and 0/0 -> NaN, whose <= comparison is FALSE
+    # — so a point with a zero ordinate is never removed, even when the
+    # coordinates are identical.  (NaN <= tol is already False in numpy;
+    # no remapping.)
     with np.errstate(divide="ignore", invalid="ignore"):
         delta = np.abs(nxt / prev - 1.0)
-    delta = np.where(np.isnan(delta), np.where(nxt == prev, 0.0, np.inf), delta)
     return bool(np.all(delta <= tol))
 
 
@@ -40,9 +42,9 @@ def remove_consecutive_duplicates(coords: np.ndarray, tolerance_ppm: float) -> n
         return coords.copy()
     tol = tolerance_ppm * 1e-6
     # fast path: no adjacent pair is within tolerance -> nothing to remove
+    # (NaN from 0/0 compares False, matching Java — see _is_dup)
     with np.errstate(divide="ignore", invalid="ignore"):
         deltas = np.abs(coords[1:] / coords[:-1] - 1.0)
-    deltas = np.where(np.isnan(deltas), np.where(coords[1:] == coords[:-1], 0.0, np.inf), deltas)
     if not np.any(np.all(deltas <= tol, axis=1)):
         return coords.copy()
 

@@ -31,24 +31,36 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
+def _srs_info(srs_name: str):
+    """srsName string -> {'epsg', 'latlon'} — the axis-order bit must ride
+    along with the code: CRS84 parses to 4326 but is LON-first, so losing
+    it would transpose every coordinate downstream."""
+    from georay.crs.identifiers import axis_order_latlon
+
+    try:
+        return {"epsg": parse_epsg(srs_name), "latlon": axis_order_latlon(srs_name)}
+    except ValueError:
+        return None
+
+
 def _srs_of(elem, inherited=None):
     srs = elem.get("srsName")
     if srs:
-        try:
-            return parse_epsg(srs)
-        except ValueError:
-            return inherited
+        info = _srs_info(srs)
+        if info is not None:
+            return info
     return inherited
 
 
 def _child_srs(elem):
-    """Third fallback of findCRSReference: srsName on a pos/posList child."""
-    for ch in elem.iter():
+    """Third fallback of findCRSReference (GmlUtils.java:312-315): srsName
+    on a DIRECT pos/posList child only — the reference XPath is
+    './gml:posList | ./gml:pos', not a descendant scan."""
+    for ch in list(elem):
         if _local(ch.tag) in ("pos", "posList") and ch.get("srsName"):
-            try:
-                return parse_epsg(ch.get("srsName"))
-            except ValueError:
-                pass
+            info = _srs_info(ch.get("srsName"))
+            if info is not None:
+                return info
     return None
 
 
@@ -105,64 +117,78 @@ def _segment_from_xml(seg) -> dict:
     return {"type": type_map[name], "coords": _coords_of(seg)}
 
 
-def _ring_from_xml(ring, epsg) -> dict:
+def _ring_from_xml(ring, srs) -> dict:
     name = _local(ring.tag)
+    epsg = srs["epsg"] if srs else None
+    latlon = srs["latlon"] if srs else None
     if name == "LinearRing":
-        return {"kind": "LinearRing", "coords": _coords_of(ring), "epsg": epsg}
+        return {"kind": "LinearRing", "coords": _coords_of(ring), "epsg": epsg, "latlon": latlon}
     if name == "Ring":
         members = []
         for cm in _find_children(ring, "curveMember", "curveMembers"):
             for geom in list(cm):
-                members.append(parse_geometry(geom, inherited_epsg=epsg))
-        return {"kind": "Ring", "members": members, "epsg": epsg}
+                members.append(parse_geometry(geom, inherited_epsg=srs))
+        return {"kind": "Ring", "members": members, "epsg": epsg, "latlon": latlon}
     raise ValueError(f"Unsupported ring element: {name}")
 
 
 def parse_geometry(elem, inherited_epsg=None) -> dict:
-    """GML element -> georay geometry descriptor (kind/epsg/...)."""
+    """GML element -> georay geometry descriptor (kind/epsg/latlon/...).
+
+    ``latlon`` records the authority axis order of the srsName FORM used
+    (CRS84 is 4326 but lon-first); descriptors default to the EPSG
+    authority order when absent.
+    """
+    from georay.crs.identifiers import axis_order_latlon
+
     name = _local(elem.tag)
-    epsg = _srs_of(elem, inherited_epsg) or _child_srs(elem)
+    if isinstance(inherited_epsg, int):
+        inherited_epsg = {"epsg": inherited_epsg, "latlon": axis_order_latlon(inherited_epsg)}
+    srs = _srs_of(elem, inherited_epsg) or _child_srs(elem)
+    epsg = srs["epsg"] if srs else None
+    latlon = srs["latlon"] if srs else None
 
     if name == "Point":
-        return {"kind": "Point", "coords": _coords_of(elem)[0], "epsg": epsg}
+        return {"kind": "Point", "coords": _coords_of(elem)[0], "epsg": epsg, "latlon": latlon}
 
     if name == "LineString":
-        return {"kind": "LineString", "coords": _coords_of(elem), "epsg": epsg}
+        return {"kind": "LineString", "coords": _coords_of(elem), "epsg": epsg, "latlon": latlon}
 
     if name == "Curve":
         segs = []
         for segments in _find_children(elem, "segments"):
             for seg in list(segments):
                 segs.append(_segment_from_xml(seg))
-        return {"kind": "Curve", "segments": segs, "epsg": epsg}
+        return {"kind": "Curve", "segments": segs, "epsg": epsg, "latlon": latlon}
 
     if name == "CompositeCurve":
         members = []
         for cm in _find_children(elem, "curveMember", "curveMembers"):
             for geom in list(cm):
-                members.append(parse_geometry(geom, inherited_epsg=epsg))
-        return {"kind": "CompositeCurve", "members": members, "epsg": epsg}
+                members.append(parse_geometry(geom, inherited_epsg=srs))
+        return {"kind": "CompositeCurve", "members": members, "epsg": epsg, "latlon": latlon}
 
     if name == "OrientableCurve":
         base = None
         for bc in _find_children(elem, "baseCurve"):
             for geom in list(bc):
-                base = parse_geometry(geom, inherited_epsg=epsg)
+                base = parse_geometry(geom, inherited_epsg=srs)
         return {
             "kind": "OrientableCurve",
             "orientation": elem.get("orientation", "+"),
             "base": base,
-            "epsg": epsg or (base or {}).get("epsg"),
+            "epsg": epsg if epsg is not None else (base or {}).get("epsg"),
+            "latlon": latlon if latlon is not None else (base or {}).get("latlon"),
         }
 
     if name == "Polygon":
         exterior = None
         interiors = []
         for ext in _find_children(elem, "exterior"):
-            exterior = _ring_from_xml(list(ext)[0], epsg)
+            exterior = _ring_from_xml(list(ext)[0], srs)
         for inte in _find_children(elem, "interior"):
-            interiors.append(_ring_from_xml(list(inte)[0], epsg))
-        return {"kind": "Polygon", "exterior": exterior, "interiors": interiors, "epsg": epsg}
+            interiors.append(_ring_from_xml(list(inte)[0], srs))
+        return {"kind": "Polygon", "exterior": exterior, "interiors": interiors, "epsg": epsg, "latlon": latlon}
 
     if name == "Surface":
         patches = []
@@ -175,11 +201,11 @@ def parse_geometry(elem, inherited_epsg=None) -> dict:
                 exterior = None
                 interiors = []
                 for ext in _find_children(patch, "exterior"):
-                    exterior = _ring_from_xml(list(ext)[0], epsg)
+                    exterior = _ring_from_xml(list(ext)[0], srs)
                 for inte in _find_children(patch, "interior"):
-                    interiors.append(_ring_from_xml(list(inte)[0], epsg))
+                    interiors.append(_ring_from_xml(list(inte)[0], srs))
                 patches.append({"patch": kind, "exterior": exterior, "interiors": interiors})
-        return {"kind": "Surface", "patches": patches, "epsg": epsg}
+        return {"kind": "Surface", "patches": patches, "epsg": epsg, "latlon": latlon}
 
     if name in ("MultiCurve", "MultiSurface", "MultiPoint", "MultiGeometry"):
         members = []
@@ -190,8 +216,8 @@ def parse_geometry(elem, inherited_epsg=None) -> dict:
         for mm in _find_children(elem, *member_tags):
             for geom in list(mm):
                 # members lacking srsName inherit the collection's (G-07)
-                members.append(parse_geometry(geom, inherited_epsg=epsg))
-        return {"kind": name, "members": members, "epsg": epsg}
+                members.append(parse_geometry(geom, inherited_epsg=srs))
+        return {"kind": name, "members": members, "epsg": epsg, "latlon": latlon}
 
     raise ValueError(f"Unsupported GML geometry element: {name}")
 
@@ -221,10 +247,13 @@ def prepare_geometry(desc: dict, target_epsg: int = 4326):
 
     kind = desc["kind"]
     epsg = desc.get("epsg") or 4326
+    latlon = desc.get("latlon")
+    if latlon is None:
+        latlon = axis_order_latlon(epsg)
 
     def harmonize(coords: np.ndarray) -> np.ndarray:
         coords = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
-        if axis_order_latlon(epsg):
+        if latlon:
             coords = coords[:, ::-1]
         if int(epsg) != int(target_epsg):
             x, y = transformer(int(epsg), int(target_epsg)).transform(coords[:, 0], coords[:, 1])

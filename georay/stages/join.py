@@ -28,8 +28,26 @@ def _resolve(payload_or_ref):
 #: per-worker-process cache of built broadcast-side indexes, keyed by the
 #: ObjectRef hex of the payload — task workers are long-lived, so the
 #: STRtree-analog is built once per (worker, payload) like actor state,
-#: without paying an actor-pool spawn per pipeline run.
+#: without paying an actor-pool spawn per pipeline run.  Bounded: a
+#: long-lived session cycling many payloads must not leak per-worker
+#: memory (insertion-order eviction; entries are cheap to rebuild).
 _PSET_CACHE: dict = {}
+_PSET_CACHE_MAX = 8
+
+
+def _join_batch(pset, poly_ids, predicate: str, keep_cols, batch: pa.Table) -> pa.Table:
+    """Shared broadcast-join batch kernel (task path and actor path both
+    call this — one body, no drift)."""
+    px = batch.column("lon").to_numpy()
+    py = batch.column("lat").to_numpy()
+    pt_idx, poly_idx = pset.join(px, py, predicate)
+    arrs = {}
+    take = pa.array(pt_idx, pa.int64())
+    for col in keep_cols:
+        arrs[col] = batch.column(col).take(take)
+    arrs["polygon_id"] = pa.array(poly_ids[poly_idx], pa.string())
+    arrs["predicate"] = pa.array([predicate] * len(pt_idx), pa.string())
+    return pa.table(arrs)
 
 
 def make_spatial_join_fn(payload_ref, predicate: str = "INTERSECTS", keep_cols=("doc_id", "url")):
@@ -50,18 +68,11 @@ def make_spatial_join_fn(payload_ref, predicate: str = "INTERSECTS", keep_cols=(
         if entry is None:
             pset = build_polygon_set(_resolve(payload_ref))
             ids = np.asarray([p.polygon_id for p in pset.polygons], dtype=object)
+            while len(_PSET_CACHE) >= _PSET_CACHE_MAX:
+                _PSET_CACHE.pop(next(iter(_PSET_CACHE)))
             entry = _PSET_CACHE[key] = (pset, ids)
         pset, poly_ids = entry
-        px = batch.column("lon").to_numpy()
-        py = batch.column("lat").to_numpy()
-        pt_idx, poly_idx = pset.join(px, py, predicate)
-        arrs = {}
-        take = pa.array(pt_idx, pa.int64())
-        for col in keep_cols:
-            arrs[col] = batch.column(col).take(take)
-        arrs["polygon_id"] = pa.array(poly_ids[poly_idx], pa.string())
-        arrs["predicate"] = pa.array([predicate] * len(pt_idx), pa.string())
-        return pa.table(arrs)
+        return _join_batch(pset, poly_ids, predicate, keep_cols, batch)
 
     return join_batch
 
@@ -82,16 +93,7 @@ class SpatialJoinActor:
         self.poly_ids = np.asarray([p.polygon_id for p in self.pset.polygons], dtype=object)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        px = batch.column("lon").to_numpy()
-        py = batch.column("lat").to_numpy()
-        pt_idx, poly_idx = self.pset.join(px, py, self.predicate)
-        arrs = {}
-        take = pa.array(pt_idx, pa.int64())
-        for col in self.keep_cols:
-            arrs[col] = batch.column(col).take(take)
-        arrs["polygon_id"] = pa.array(self.poly_ids[poly_idx], pa.string())
-        arrs["predicate"] = pa.array([self.predicate] * len(pt_idx), pa.string())
-        return pa.table(arrs)
+        return _join_batch(self.pset, self.poly_ids, self.predicate, self.keep_cols, batch)
 
 
 class DWithinJoinActor:
@@ -273,13 +275,14 @@ class KNNJoinActor:
                 py[grp][:, None], px[grp][:, None], self.ref_lat[cand][None, :], self.ref_lon[cand][None, :]
             )
             kk = min(self.k, d.shape[1])
-            part = np.argpartition(d, kk - 1, axis=1)[:, :kk] if d.shape[1] > kk else np.tile(
-                np.arange(d.shape[1]), (d.shape[0], 1)
-            )
             rows = np.arange(d.shape[0])[:, None]
-            dk = d[rows, part]
-            srt = np.argsort(dk, axis=1, kind="stable")
-            return part[rows, srt], dk[rows, srt], kk
+            # full (distance, ref_id) ordering — argpartition would leave
+            # equal-distance ties at the k-boundary in candidate (cell)
+            # order, diverging from the brute path/oracle tie-break;
+            # candidate counts per group are small, full lexsort is cheap
+            tie_ids = np.broadcast_to(self.ref_ids[cand], d.shape)
+            srt = np.lexsort((tie_ids, d), axis=1)[:, :kk]
+            return srt, d[rows, srt], kk
 
         def emit(grp, cand, topk, dk, kk):
             out_pt.append(np.repeat(grp, kk))

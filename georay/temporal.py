@@ -54,10 +54,11 @@ def relative_position(b1, e1, b2, e2) -> np.ndarray:
     out[m] = BEFORE
     m = (out == -1) & (b1 > e2)
     out[m] = AFTER
-    m = (out == -1) & (e1 == b2)
-    out[m] = MEETS
-    m = (out == -1) & (b1 == e2)
-    out[m] = MET_BY
+    # boundary-coincidence ordering: the begin/end-sharing relations must
+    # be classified BEFORE MEETS/MET_BY — for a degenerate operand (an
+    # instant sitting exactly on a period boundary) both conditions hold
+    # and ISO 19108 / Geotk resolve to BEGINS/ENDS/BEGUN_BY/ENDED_BY, not
+    # the meet relations (for proper periods the cases are disjoint).
     m = (out == -1) & (b1 == b2) & (e1 < e2)
     out[m] = BEGINS
     m = (out == -1) & (b1 == b2) & (e1 > e2)
@@ -66,6 +67,10 @@ def relative_position(b1, e1, b2, e2) -> np.ndarray:
     out[m] = ENDS
     m = (out == -1) & (e1 == e2) & (b1 < b2)
     out[m] = ENDED_BY
+    m = (out == -1) & (e1 == b2)
+    out[m] = MEETS
+    m = (out == -1) & (b1 == e2)
+    out[m] = MET_BY
     m = (out == -1) & (b1 > b2) & (e1 < e2)
     out[m] = DURING
     m = (out == -1) & (b1 < b2) & (e1 > e2)

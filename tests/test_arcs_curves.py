@@ -257,3 +257,14 @@ class TestSurfaceFactories:
         }
         out = geometry_coordinate_list(multi)
         np.testing.assert_allclose(out, [[1, 2], [3, 4]])
+
+
+class TestPatchUnionGuards:
+    def test_figure_eight_raises(self):
+        # two triangles sharing exactly one vertex: non-simple boundary
+        from georay.geom.curves import merge_patch_rings
+
+        r1 = np.array([[0, 0], [2, 0], [1, 1], [0, 0]], dtype=float)
+        r2 = np.array([[1, 1], [0, 2], [2, 2], [1, 1]], dtype=float)
+        with pytest.raises(ValueError, match="revisits a vertex|multiple boundary"):
+            merge_patch_rings([r1, r2])

@@ -55,3 +55,33 @@ class TestEmptyBlocks:
             )
         )
         assert out.count() == 0
+
+
+class TestEmptyAnnAndLsh:
+    def test_brute_force_knn_empty_batch(self):
+        import numpy as np
+
+        from georay.ann import BruteForceKNN
+
+        actor = BruteForceKNN(
+            {"query_id": np.array([0]), "vectors": np.ones((1, 4))}, k=3
+        )
+        empty = pa.table(
+            {"vec_id": pa.array([], pa.int64()), "embedding": pa.array([], pa.list_(pa.float32()))}
+        )
+        out = actor(empty)
+        assert out.num_rows == 0
+
+    def test_lsh_keys_empty_batch(self, ray_session):
+        import numpy as np
+        import ray
+        import ray.data
+
+        from georay.dedup import embed_lsh_pairs
+
+        empty = pa.table(
+            {"vec_id": pa.array([], pa.int64()), "embedding": pa.array([], pa.list_(pa.float32()))}
+        )
+        ref = ray.put({"ids": np.array([], dtype=np.int64), "vectors": np.empty((0, 4))})
+        out = embed_lsh_pairs(ray.data.from_arrow(empty), ref, threshold=0.5)
+        assert out.count() == 0

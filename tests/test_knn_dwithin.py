@@ -151,3 +151,26 @@ class TestDWithinPolygon:
         )
         out = actor(batch)
         assert out.column("distance_m").to_pylist() == [0.0]
+
+
+class TestGridTieBreak:
+    def test_equidistant_refs_pick_lower_id(self):
+        # two refs exactly mirrored about the query longitude, in different
+        # index cells, higher id placed in the lower-ordered cell
+        refs = {
+            "ref_id": np.array([7, 3], dtype=np.int64),
+            "lon": np.array([10.0, -10.0]),  # ref 7 east, ref 3 west
+            "lat": np.array([0.0, 0.0]),
+        }
+        actor = KNNJoinActor.__new__(KNNJoinActor)
+        actor.__init__(refs, k=1, index_res=4, exact=False)
+        actor.brute = False
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "lon": pa.array([0.0], pa.float64()),
+                "lat": pa.array([0.0], pa.float64()),
+            }
+        )
+        out = actor(batch)
+        assert out.column("ref_id").to_pylist() == [3]  # smaller id wins the tie

@@ -107,3 +107,15 @@ class TestTransformRingToRightHanded:
         deduped = transform_ring_to_right_handed(raw, 4326)
         assert len(deduped) == 7
         assert abs(deduped[0, 0] - -36.1667) < 1e-4
+
+
+class TestZeroOrdinateJavaSemantics:
+    def test_zero_ordinate_duplicates_kept(self):
+        # Java: 0/0 -> NaN, NaN <= tol is false -> NOT a duplicate
+        # (code-review finding: points with a 0 ordinate are never removed)
+        coords = np.array([[0.0, 0.0], [0.0, 0.0], [1.0, 1.0]])
+        assert len(remove_consecutive_duplicates(coords, 1)) == 3
+
+    def test_zero_x_nonzero_y(self):
+        coords = np.array([[0.0, 5.0], [0.0, 5.0], [1.0, 1.0]])
+        assert len(remove_consecutive_duplicates(coords, 1)) == 3

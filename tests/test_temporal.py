@@ -109,3 +109,22 @@ class TestFormatter:
         assert format_primitive(0, 0) == "Instant: 1970-01-01T00:00:00.000000"
         s = format_primitive(0, 3_600_000_000)
         assert s.startswith("Period: 1970-01-01T00:00:00") and "/" in s
+
+
+class TestBoundaryInstants:
+    """Degenerate operands on period boundaries resolve to the begin/end
+    relations, not MEETS/MET_BY (code-review finding; ISO 19108)."""
+
+    def test_instant_at_period_begin_is_begins(self):
+        from georay.temporal import BEGINS, BEGUN_BY, ENDS, ENDED_BY, relative_position
+
+        assert relative_position(10, 10, 10, 20) == BEGINS
+        assert relative_position(10, 20, 10, 10) == BEGUN_BY
+        assert relative_position(20, 20, 10, 20) == ENDS
+        assert relative_position(10, 20, 20, 20) == ENDED_BY
+
+    def test_proper_period_meets_unchanged(self):
+        from georay.temporal import MEETS, MET_BY, relative_position
+
+        assert relative_position(0, 10, 10, 20) == MEETS
+        assert relative_position(10, 20, 0, 10) == MET_BY
