@@ -78,9 +78,9 @@ def ensure_pages(sf_dir: str, n_pages: int, cache_root: str = "/tmp/georay_bench
         if rep:
             ids = pa.compute.add(t.column("doc_id"), rep * 10_000_000)
             t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id", ids)
-        take = min(base, n_pages - total)
-        if take < base:
-            t = t.slice(0, take)
+        # whole replicas only (matches the Ray builder): the cache may
+        # hold up to base-1 rows more than the nominal n_pages; consumers
+        # count actual rows from file metadata
         pages_t = synthesize_pages_batch(t)
         if skew:
             import numpy as _np
@@ -153,12 +153,16 @@ def _ensure_pages_ray(sf_dir: str, n_pages: int, out_dir: str) -> str:
         .map_batches(synth, batch_format="numpy", batch_size=4)
         .write_parquet(tmp_dir)
     )
-    os.rename(tmp_dir, out_dir)
-    # normalize file names for the reader glob
-    for i, f in enumerate(sorted(os.listdir(out_dir))):
+    # finalize atomically: normalize names and write _DONE inside the tmp
+    # dir FIRST, then a single rename publishes the finished cache — a
+    # kill at any point leaves either tmp (rebuilt next run) or a complete
+    # cache, never a half-published directory that wedges future runs
+    for i, f in enumerate(sorted(os.listdir(tmp_dir))):
         if f.endswith(".parquet") and not f.startswith("part-"):
-            os.rename(os.path.join(out_dir, f), os.path.join(out_dir, f"part-{i:05d}.parquet"))
-    open(os.path.join(out_dir, "_DONE"), "w").write(str(reps * base))
+            os.rename(os.path.join(tmp_dir, f), os.path.join(tmp_dir, f"part-{i:05d}.parquet"))
+    open(os.path.join(tmp_dir, "_DONE"), "w").write(str(reps * base))
+    shutil.rmtree(out_dir, ignore_errors=True)  # stale half-published dir
+    os.rename(tmp_dir, out_dir)
     log(f"pages cache built via ray: {out_dir} rows~{reps * base}")
     if owns_ray:
         ray.shutdown()
@@ -307,7 +311,7 @@ def _cpu_ceiling(lo: int, hi: int, seconds: float = 2.0) -> float:
 
 
 def scaling_run(args) -> dict:
-    ensure_pages(args.sf_dir, args.pages)  # build cache before timing
+    ensure_pages(args.sf_dir, args.pages, skew=args.skew)  # build cache before timing
     results = {}
     lo, hi = args.scaling_cpus
     for n in (lo, hi):
@@ -317,9 +321,9 @@ def scaling_run(args) -> dict:
             "--sf-dir", args.sf_dir,
             "--pages", str(args.pages),
             "--num-cpus", str(n),
-            "--repeats", "3",
+            "--repeats", str(max(3, args.repeats)),
             "--no-queries",
-        ]
+        ] + (["--skew"] if args.skew else [])
         log(f"scaling run num_cpus={n} ...")
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
         if proc.returncode != 0:
@@ -341,6 +345,7 @@ def scaling_run(args) -> dict:
         f"docs_per_sec@{lo}": dps_lo,
         f"docs_per_sec@{hi}": dps_hi,
         "scaling_efficiency": round(eff, 3),
+        "skew": args.skew,
         "hw_cpu_scaling_ceiling": round(ceiling, 3),
         "efficiency_vs_hw_ceiling": round(eff / ceiling, 3),
     }

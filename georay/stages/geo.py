@@ -52,10 +52,21 @@ class Reproject:
                 continue
             m = epsg == src
             x[m], y[m] = transformer(int(src), self.dst).transform(x[m], y[m])
-        out = batch.drop_columns([self.lon_col, self.lat_col, "epsg"])
-        out = out.append_column(self.lon_col, pa.array(x, pa.float64()))
-        out = out.append_column(self.lat_col, pa.array(y, pa.float64()))
-        out = out.append_column("epsg", pa.array(np.full(len(x), self.dst, np.int32)))
+        # replace columns IN PLACE: the transform path must emit the same
+        # column order as the pass-through path, or blocks of one dataset
+        # end up with different schemas and any block-combining op
+        # (repartition/sort/union/concat) fails on mixed-CRS input
+        out = batch.set_column(
+            batch.schema.get_field_index(self.lon_col), self.lon_col, pa.array(x, pa.float64())
+        )
+        out = out.set_column(
+            out.schema.get_field_index(self.lat_col), self.lat_col, pa.array(y, pa.float64())
+        )
+        out = out.set_column(
+            out.schema.get_field_index("epsg"),
+            "epsg",
+            pa.array(np.full(len(x), self.dst, np.int32)),
+        )
         return out
 
 

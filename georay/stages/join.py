@@ -61,16 +61,21 @@ def make_spatial_join_fn(payload_ref, predicate: str = "INTERSECTS", keep_cols=(
     """
     predicate = predicate.upper()
     keep_cols = list(keep_cols)
-    key = payload_ref.hex() if isinstance(payload_ref, ray.ObjectRef) else id(payload_ref)
+    # cache ONLY ObjectRef payloads: their hex is globally unique, while
+    # id(plain_payload) can be reused by a later allocation and would
+    # serve a stale polygon set for a different payload
+    key = payload_ref.hex() if isinstance(payload_ref, ray.ObjectRef) else None
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        entry = _PSET_CACHE.get(key)
+        entry = _PSET_CACHE.get(key) if key is not None else None
         if entry is None:
             pset = build_polygon_set(_resolve(payload_ref))
             ids = np.asarray([p.polygon_id for p in pset.polygons], dtype=object)
-            while len(_PSET_CACHE) >= _PSET_CACHE_MAX:
-                _PSET_CACHE.pop(next(iter(_PSET_CACHE)))
-            entry = _PSET_CACHE[key] = (pset, ids)
+            entry = (pset, ids)
+            if key is not None:
+                while len(_PSET_CACHE) >= _PSET_CACHE_MAX:
+                    _PSET_CACHE.pop(next(iter(_PSET_CACHE)))
+                _PSET_CACHE[key] = entry
         pset, poly_ids = entry
         return _join_batch(pset, poly_ids, predicate, keep_cols, batch)
 
@@ -134,9 +139,16 @@ class DWithinJoinActor:
             # longitude pad must use the WORST (highest-|lat|) cosine the
             # padded box can reach, x1.6 for great-circle flattening of
             # large spans — a mid-latitude cosine under-pads near the
-            # polygon's poleward edge and silently drops true matches
-            lat_reach = min(85.0, max(abs(miny - self.pad_deg), abs(maxy + self.pad_deg)))
-            pad_lon = 1.6 * self.pad_deg / max(0.05, np.cos(np.radians(lat_reach)))
+            # polygon's poleward edge and silently drops true matches.
+            # Beyond the polar threshold longitude separation gives no
+            # distance guarantee at all: disable the lon prefilter there
+            # (lat band alone bounds the candidates) like the kNN stage's
+            # exhaustive polar fallback.
+            lat_reach = max(abs(miny - self.pad_deg), abs(maxy + self.pad_deg))
+            if lat_reach >= 80.0:
+                pad_lon = 360.0
+            else:
+                pad_lon = 1.6 * self.pad_deg / np.cos(np.radians(lat_reach))
             cand = np.nonzero(
                 (px >= minx - pad_lon)
                 & (px <= maxx + pad_lon)

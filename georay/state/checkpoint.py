@@ -70,6 +70,18 @@ def resumable_run(
     for name, files in partition_groups(input_files, group_size):
         pdir = os.path.join(out_dir, name)
         if name in done:
+            # a completed partition is only skippable if it was built from
+            # THESE inputs — resuming with a different group_size or a
+            # changed input list would otherwise duplicate/lose rows
+            with open(os.path.join(pdir, "lineage.json")) as f:
+                recorded = json.load(f).get("inputs")
+            if recorded != files:
+                raise ValueError(
+                    f"Partition {name} was checkpointed from different inputs "
+                    f"({len(recorded or [])} files) than the current grouping "
+                    f"({len(files)} files); resume with the original input list "
+                    f"and group_size, or use a fresh out_dir"
+                )
             stats["skipped"] += 1
             continue
         if fail_after is not None and completed_this_run >= fail_after:
