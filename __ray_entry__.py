@@ -143,6 +143,33 @@ def _q_knn(sf_dir: str):
     ).map_batches(lambda b: b.select(["doc_id", "ref_id", "rank"]), batch_format="pyarrow")
 
 
+def _q_knn_grid(sf_dir: str):
+    """kNN via the cell-neighbourhood GRID path: 5000 reference points
+    (above the brute-force threshold) force ring expansion with the
+    provable distance bound; oracle is an exact cross-join top-3.
+    Ref coordinates derive from integer arithmetic so the SQL mirrors
+    them without a VALUES blob."""
+    i = np.arange(5000, dtype=np.int64)
+    refs = {
+        "ref_id": i,
+        "lon": (i * 104729 + 17) % 36000 / 100.0 - 180.0,
+        "lat": (i * 7919 + 11) % 17000 / 100.0 - 85.0,
+    }
+    ref = ray.put(refs)
+    return _geo(sf_dir).map_batches(
+        KNNJoinActor,
+        fn_constructor_kwargs={
+            "ref_points": ref,
+            "k": 3,
+            "exact": False,
+            "index_res": 6,
+            "keep_cols": ("doc_id",),
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).map_batches(lambda b: b.select(["doc_id", "ref_id", "rank"]), batch_format="pyarrow")
+
+
 def _q_text_invariant(sf_dir: str):
     """md5 of the text each page carries == md5 of the source document text
     (byte-identical extracted text per url)."""
@@ -638,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_join": _q_bbox_join,
         "pip_join": _q_pip_join,
         "knn": _q_knn,
+        "knn_grid": _q_knn_grid,
         "text_invariant": _q_text_invariant,
         "dedup_exact": _q_dedup_exact,
         "lineitem_agg": _q_lineitem_agg,
@@ -872,6 +900,24 @@ def oracle_sql() -> dict[str, str]:
         "knn": f"""{geo_pages},
             refs(ref_id, rlon, rlat) AS (VALUES
             {_ref_sql_values()}),
+            dists AS (
+              SELECT g.doc_id, r.ref_id,
+                     2.0*6371008.8*asin(least(1.0, sqrt(
+                        pow(sin(radians(r.rlat - g.lat)/2.0), 2)
+                        + cos(radians(g.lat))*cos(radians(r.rlat))
+                          *pow(sin(radians(r.rlon - g.lon)/2.0), 2)))) AS d
+              FROM geo g, refs r),
+            ranked AS (
+              SELECT doc_id, ref_id,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY d, ref_id) AS rank
+              FROM dists)
+            SELECT doc_id, ref_id, rank FROM ranked WHERE rank <= 3""",
+        "knn_grid": f"""{geo_pages},
+            refs AS (
+              SELECT i AS ref_id,
+                     ((i*104729 + 17) % 36000)/100.0 - 180.0 AS rlon,
+                     ((i*7919 + 11) % 17000)/100.0 - 85.0 AS rlat
+              FROM range(5000) t(i)),
             dists AS (
               SELECT g.doc_id, r.ref_id,
                      2.0*6371008.8*asin(least(1.0, sqrt(
