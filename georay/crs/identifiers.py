@@ -27,10 +27,14 @@ _LATLON_FIRST = {4326, 4258, 4269, 4019, 4979}
 
 
 def get_abbreviated_crs_identifier(srs_name: str) -> str:
-    """'http...' or 'urn...' CRS ref -> 'AUTHORITY:CODE' (R-07)."""
+    """'http...' or 'urn...' CRS ref -> 'AUTHORITY:CODE' (R-07).
+
+    Path segments are NOT empty-filtered (GeodesyUtils.java splits
+    verbatim): 'EPSG//4326' means authority EPSG with an empty version.
+    """
     s = srs_name.strip()
     if s.startswith("http"):
-        parts = [p for p in s.split("/") if p]
+        parts = s.split("/")
         if len(parts) < 3:
             raise ValueError(f"Invalid CRS reference: {srs_name}")
         authority, code = parts[-3], parts[-1]
@@ -44,13 +48,13 @@ def get_abbreviated_crs_identifier(srs_name: str) -> str:
 
 
 def convert_srs_name_to_urn(srs_name: str) -> str:
-    """http CRS URI -> URN form; URNs pass through (R-08)."""
+    """http CRS URI -> URN form; any non-'http' value is returned
+    UNCHANGED (GeodesyUtils.java:255-257 — the reference tolerates URNs
+    and arbitrary identifiers here; only 'http' URIs are rewritten)."""
     s = srs_name.strip()
-    if s.startswith("urn"):
-        return s
     if not s.startswith("http"):
-        raise ValueError(f"Unsupported CRS reference scheme: {srs_name}")
-    parts = [p for p in s.split("/") if p]
+        return s
+    parts = s.split("/")
     if len(parts) < 3:
         raise ValueError(f"Invalid CRS reference: {srs_name}")
     authority, version, code = parts[-3], parts[-2], parts[-1]

@@ -34,16 +34,25 @@ def infer_points_on_arc(
     start_angle: float | None = None,
     end_angle: float | None = None,
     epsg: int = 4326,
+    latlon: bool | None = None,
 ) -> np.ndarray:
     """Densify an ArcByCenterPoint / CircleByCenterPoint -> (5,2) coords in
-    the CRS's authority axis order (center given the same way)."""
+    the CRS's authority axis order (center given the same way).
+
+    ``latlon`` overrides the axis-order decision for srsName forms whose
+    order differs from the EPSG authority order (CRS84 is 4326 but
+    lon-first).  A start angle without an end angle is rejected cleanly
+    (the reference NPEs on the same input).
+    """
     if start_angle is None:  # CircleByCenterPoint
         start_angle, end_angle = 0.0, 360.0
+    if end_angle is None:
+        raise ValueError("ArcByCenterPoint requires an endAngle when startAngle is given")
     if end_angle == 0:
         end_angle = 360.0  # ensure endAngle > startAngle (GmlUtils.java:116)
     radius_m = length_in_meters(radius, radius_uom)
 
-    latlon_first = axis_order_latlon(int(epsg))
+    latlon_first = axis_order_latlon(int(epsg)) if latlon is None else bool(latlon)
     lat_c, lon_c = (center_0, center_1) if latlon_first else (center_1, center_0)
 
     angles = start_angle + (end_angle - start_angle) / (TOTAL_ARC_POINTS - 1) * np.arange(

@@ -44,9 +44,11 @@ MIN_SEGMENT_POSITIONS = {
 }
 
 
-def _segment_coords(seg: dict, epsg: int) -> np.ndarray:
+def _segment_coords(seg: dict, epsg: int, latlon: bool | None = None) -> np.ndarray:
     """C-09: per-segment coordinate extraction (CurveSegmentType.java:23-106).
-    All kinds demand a resolved CRS."""
+    All kinds demand a resolved CRS.  ``latlon`` carries the srsName
+    form's axis order (CRS84: epsg 4326 but lon-first) into the geodesic
+    arc sampler, which must know which ordinate is the latitude."""
     if epsg is None:
         raise ValueError("CRS reference is required for curve segments")
     t = seg["type"]
@@ -60,6 +62,7 @@ def _segment_coords(seg: dict, epsg: int) -> np.ndarray:
             seg.get("start_angle") if t == "ArcByCenterPoint" else None,
             seg.get("end_angle") if t == "ArcByCenterPoint" else None,
             epsg,
+            latlon=latlon,
         )
     coords = np.asarray(seg["coords"], dtype=np.float64).reshape(-1, 2)
     need = MIN_SEGMENT_POSITIONS.get(t)
@@ -76,24 +79,27 @@ def extract_pos_list(values, crs_dim: int) -> np.ndarray:
     return np.asarray(values, dtype=np.float64).reshape(-1, int(crs_dim))[:, :2]
 
 
-def curve_coordinate_list(geom: dict, epsg: int | None = None) -> np.ndarray:
-    """C-03 dispatch: any curve descriptor -> concatenated (N,2) coords."""
+def curve_coordinate_list(geom: dict, epsg: int | None = None, latlon: bool | None = None) -> np.ndarray:
+    """C-03 dispatch: any curve descriptor -> concatenated (N,2) coords
+    (in the descriptor's declared axis order; ``latlon`` inherits down
+    exactly like ``epsg``)."""
     epsg = geom.get("epsg", epsg)
+    latlon = geom.get("latlon", latlon)
     kind = geom["kind"]
     if kind in ("LineString", "LinearRing"):
         return np.asarray(geom["coords"], dtype=np.float64).reshape(-1, 2)
     if kind == "Curve":
-        parts = [_segment_coords(s, epsg) for s in geom["segments"]]
+        parts = [_segment_coords(s, epsg, latlon) for s in geom["segments"]]
         return np.concatenate(parts) if parts else np.empty((0, 2))
     if kind == "CompositeCurve":
         # members inherit the composite's srsName (C-06)
-        parts = [curve_coordinate_list(m, epsg) for m in geom["members"]]
+        parts = [curve_coordinate_list(m, epsg, latlon) for m in geom["members"]]
         return np.concatenate(parts) if parts else np.empty((0, 2))
     if kind == "OrientableCurve":
-        base = curve_coordinate_list(geom["base"], epsg)
+        base = curve_coordinate_list(geom["base"], epsg, latlon)
         return base[::-1].copy() if geom.get("orientation") == "-" else base  # C-07
     if kind == "Ring":
-        parts = [curve_coordinate_list(m, epsg) for m in geom["members"]]
+        parts = [curve_coordinate_list(m, epsg, latlon) for m in geom["members"]]
         return np.concatenate(parts) if parts else np.empty((0, 2))
     raise ValueError(f"Unsupported curve kind: {kind}")
 
@@ -120,6 +126,8 @@ def merge_patch_rings(rings: list[np.ndarray]) -> np.ndarray:
     exact for edge-adjacent patch complexes (the conformance corpus) and
     documented as the engine's partitioning assumption for surfaces.
     """
+    if not rings:
+        raise ValueError("Surface has no patches (empty exterior)")
     if len(rings) == 1:
         r = rings[0]
         if not np.array_equal(r[0], r[-1]):
@@ -213,7 +221,9 @@ def build_line_string(curve: dict, epsg: int | None = None):
     if epsg is None:
         raise ValueError("CRS reference is required to build a LineString")
     coords = curve_coordinate_list(curve, epsg)
-    coords = transform_ring_to_right_handed(coords, int(epsg))  # densified + dedup@1ppm
+    coords = transform_ring_to_right_handed(
+        coords, int(epsg), latlon=curve.get("latlon")
+    )  # densified + dedup@1ppm
     return LineString(coords, int(epsg))
 
 

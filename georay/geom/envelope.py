@@ -166,19 +166,21 @@ def get_antipode(coord):
 
 
 def antipodal_envelope(env: Envelope) -> Envelope:
-    """Envelope on the opposite side of Earth, in EPSG:4326 (A-08)."""
+    """Envelope on the opposite side of Earth, in EPSG:4326 (A-08).
+
+    Exactly Extents.java:404-411: ONLY the first ordinate (latitude) is
+    swapped between the corners; longitudes keep their antipode values
+    unsorted.  For an envelope whose lon range crosses 0, the antipodal
+    lon range crosses the antimeridian and is represented WRAPAROUND
+    (min1 > max1, SIS GeneralEnvelope semantics) — re-sorting it would
+    describe the 340-degree complement instead of the true region.
+    """
     e = env if (env.epsg == 4326 and not env.crs84 and env.latlon_first) else env.transform(4326)
     ap_lower = get_antipode(np.array([e.min0, e.min1]))
     ap_upper = get_antipode(np.array([e.max0, e.max1]))
-    # swap first ordinate so corners stay lower<=upper (Extents.java:404-408)
+    # swap first ordinate so corners stay lower<=upper in latitude
     ap_lower[0], ap_upper[0] = ap_upper[0], ap_lower[0]
-    return Envelope(
-        min(ap_lower[0], ap_upper[0]),
-        min(ap_lower[1], ap_upper[1]),
-        max(ap_lower[0], ap_upper[0]),
-        max(ap_lower[1], ap_upper[1]),
-        4326,
-    )
+    return Envelope(ap_lower[0], ap_lower[1], ap_upper[0], ap_upper[1], 4326)
 
 
 # ---------------------------------------------------------------------------

@@ -129,6 +129,13 @@ class LineString:
         a1, a2 = _segments(self.coords)
         d = segment_segment_distance(a1, a2, poly._ex1, poly._ex2)
         i, j = np.unravel_index(int(np.argmin(d)), d.shape)
+        if d[i, j] == 0.0:
+            # the line CROSSES the boundary with all vertices outside:
+            # the nearest pair is the crossing point itself (coincident) —
+            # endpoint projection would return a non-zero-separation pair
+            # and invert the downstream orthodromic DWithin result
+            p = _segment_intersection_point(a1[i], a2[i], poly._ex1[j], poly._ex2[j])
+            return 0.0, p, p
         # refine the actual nearest pair on the two winning segments
         lp, pp = _nearest_pair_on_segments(a1[i], a2[i], poly._ex1[j], poly._ex2[j])
         return float(d[i, j]), lp, pp
@@ -137,6 +144,30 @@ class LineString:
         a1, a2 = _segments(self.coords)
         b1, b2 = _segments(other.coords)
         return float(segment_segment_distance(a1, a2, b1, b2).min())
+
+
+def _segment_intersection_point(p1, p2, q1, q2) -> np.ndarray:
+    """A point common to two intersecting segments: the proper crossing
+    when the segments cross, else (collinear/touching) an endpoint that
+    lies on the other segment."""
+    p1 = np.asarray(p1, dtype=np.float64)
+    p2 = np.asarray(p2, dtype=np.float64)
+    q1 = np.asarray(q1, dtype=np.float64)
+    q2 = np.asarray(q2, dtype=np.float64)
+    r = p2 - p1
+    s = q2 - q1
+    denom = r[0] * s[1] - r[1] * s[0]
+    if denom != 0.0:
+        t = ((q1[0] - p1[0]) * s[1] - (q1[1] - p1[1]) * s[0]) / denom
+        return p1 + np.clip(t, 0.0, 1.0) * r
+    # collinear / degenerate: return whichever endpoint touches the other
+    for p, s1, s2 in ((p1, q1, q2), (p2, q1, q2), (q1, p1, p2), (q2, p1, p2)):
+        d = s2 - s1
+        len2 = float((d**2).sum()) or 1.0
+        t = float(np.clip(((p - s1) * d).sum() / len2, 0.0, 1.0))
+        if float(np.hypot(*(p - (s1 + t * d)))) == 0.0:
+            return p
+    return p1
 
 
 def _nearest_pair_on_segments(p1, p2, q1, q2):

@@ -198,20 +198,30 @@ class PolygonSet:
             else:
                 index_res = 4
         self.index_res = index_res
-        # inverted index: cell -> polygon ids (cells covering each bbox)
+        # inverted index: cell -> polygon ids (cells covering each bbox).
+        # A polygon whose bbox would cover more than MAX_COVER_CELLS at
+        # this resolution (one continent-scale outlier among fine-grained
+        # polygons would otherwise enumerate 2^28 cells) goes on the
+        # always-candidate list instead — checked per point by bbox test.
+        MAX_COVER_CELLS = 4096
         cell_keys = []
         cell_vals = []
+        big_pids = []
         for pid, (minx, miny, maxx, maxy) in enumerate(self.bboxes):
             c_lo = _cells.latlng_to_cell(np.array([miny]), np.array([minx]), index_res)[0]
             c_hi = _cells.latlng_to_cell(np.array([maxy]), np.array([maxx]), index_res)[0]
             ix0, ix1 = int(_cells.cell_ix(c_lo)), int(_cells.cell_ix(c_hi))
             iy0, iy1 = int(_cells.cell_iy(c_lo)), int(_cells.cell_iy(c_hi))
+            if (ix1 - ix0 + 1) * (iy1 - iy0 + 1) > MAX_COVER_CELLS:
+                big_pids.append(pid)
+                continue
             for iy in range(iy0, iy1 + 1):
                 for ix in range(ix0, ix1 + 1):
                     cell_keys.append(
                         (index_res << 58) | (iy << 29) | ix
                     )
                     cell_vals.append(pid)
+        self._big_pids = np.asarray(big_pids, dtype=np.int64)
         order = np.argsort(np.asarray(cell_keys, dtype=np.int64), kind="stable") if cell_keys else np.array([], dtype=np.int64)
         self._idx_cells = np.asarray(cell_keys, dtype=np.int64)[order] if cell_keys else np.array([], dtype=np.int64)
         self._idx_pids = np.asarray(cell_vals, dtype=np.int64)[order] if cell_vals else np.array([], dtype=np.int64)
@@ -223,18 +233,29 @@ class PolygonSet:
 
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
-        if len(self._idx_cells) == 0 or len(px) == 0:
+        if len(px) == 0 or (len(self._idx_cells) == 0 and len(self._big_pids) == 0):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        pc = _cells.latlng_to_cell(py, px, self.index_res)
-        lo = np.searchsorted(self._idx_cells, pc, side="left")
-        hi = np.searchsorted(self._idx_cells, pc, side="right")
-        counts = hi - lo
-        if counts.sum() == 0:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        pt_idx = np.repeat(np.arange(len(px), dtype=np.int64), counts)
-        # gather candidate pids: ranges [lo, hi) flattened
-        offs = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi) if b > a])
-        poly_idx = self._idx_pids[offs]
+        if len(self._idx_cells):
+            pc = _cells.latlng_to_cell(py, px, self.index_res)
+            lo = np.searchsorted(self._idx_cells, pc, side="left")
+            hi = np.searchsorted(self._idx_cells, pc, side="right")
+            counts = hi - lo
+            pt_idx = np.repeat(np.arange(len(px), dtype=np.int64), counts)
+            if counts.sum():
+                offs = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi) if b > a])
+                poly_idx = self._idx_pids[offs]
+            else:
+                poly_idx = np.empty(0, dtype=np.int64)
+        else:
+            pt_idx = np.empty(0, dtype=np.int64)
+            poly_idx = np.empty(0, dtype=np.int64)
+        # over-large polygons bypass the cell index: every point is a
+        # candidate for them (bbox test below still filters)
+        if len(self._big_pids):
+            all_pts = np.repeat(np.arange(len(px), dtype=np.int64), len(self._big_pids))
+            all_pids = np.tile(self._big_pids, len(px))
+            pt_idx = np.concatenate([pt_idx, all_pts])
+            poly_idx = np.concatenate([poly_idx, all_pids])
         # exact bbox containment filter
         bb = self.bboxes[poly_idx]
         keep = (

@@ -64,7 +64,11 @@ def remove_consecutive_duplicates(coords: np.ndarray, tolerance_ppm: float) -> n
 
 
 def transform_ring_to_right_handed(
-    coords: np.ndarray, epsg: int, keep_all_coords: bool = False, dst_epsg: int | None = None
+    coords: np.ndarray,
+    epsg: int,
+    keep_all_coords: bool = False,
+    dst_epsg: int | None = None,
+    latlon: bool | None = None,
 ) -> np.ndarray:
     """Ring coords (authority axis order of ``epsg``) -> right-handed CS.
 
@@ -75,7 +79,10 @@ def transform_ring_to_right_handed(
     to 7 vs 9 coords (VerifyGeodesyUtils.java:135,163).
     """
     coords = np.asarray(coords, dtype=np.float64)
-    if axis_order_latlon(int(epsg)):
+    # latlon overrides for srsName forms whose order differs from the
+    # EPSG authority order (CRS84: code 4326 but already lon-first)
+    lat_first = axis_order_latlon(int(epsg)) if latlon is None else bool(latlon)
+    if lat_first:
         out = coords[:, ::-1].copy()  # lat,lon -> lon,lat
     else:
         out = coords.copy()

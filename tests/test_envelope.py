@@ -98,3 +98,13 @@ class TestCoalesceAndAggregate:
         assert a.intersects(b)
         far = Envelope(0.0, 0.0, 1.0, 1.0, 4326)
         assert not a.intersects(far)
+
+
+class TestAntipodalWraparound:
+    def test_zero_spanning_lon_range_wraps(self):
+        # lon [-10, 10] -> antipodal lons 170 / -170: the reference keeps
+        # the wraparound range (min1 > max1), NOT the 340-degree complement
+        env = Envelope(40.0, -10.0, 50.0, 10.0, 4326)
+        ap = antipodal_envelope(env)
+        assert ap.min0 == -50.0 and ap.max0 == -40.0  # latitudes swapped
+        assert ap.min1 == 170.0 and ap.max1 == -170.0  # wraparound preserved

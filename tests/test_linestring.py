@@ -135,3 +135,15 @@ class TestFixtureCases:
     def test_ring_as_linestring_vs_self(self):
         ring_line = LineString(RING)
         assert ring_line.intersects_line(ring_line)
+
+
+class TestCrossingLineNearestPair:
+    def test_crossing_line_distance_zero_with_coincident_pair(self):
+        # all vertices outside but the line slices the square: the P-04
+        # two-step must see a coincident pair (orthodromic distance 0)
+        square = Polygon(np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float))
+        line = LineString([[-5.0, 5.0], [15.0, 5.0]])
+        d, lp, pp = line.min_distance_to_polygon(square)
+        assert d == 0.0
+        np.testing.assert_allclose(lp, pp)
+        assert 0.0 <= lp[0] <= 10.0  # the pair sits on the boundary crossing

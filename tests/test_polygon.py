@@ -115,3 +115,28 @@ class TestPolygonSet:
         pt, poly = pset.join(px, py, "DISJOINT")
         got = sorted(zip(pt.tolist(), poly.tolist()))
         assert got == [(0, 1), (1, 0)]
+
+
+class TestBigPolygonIndexCap:
+    def test_world_polygon_among_tiny_ones(self):
+        # one world-spanning polygon with many tiny ones must not blow up
+        # the inverted index; it joins via the always-candidate path
+        tiny = [
+            Polygon(
+                np.array([[i * 0.001, 0.0], [i * 0.001 + 0.0005, 0.0],
+                          [i * 0.001 + 0.0005, 0.0005], [i * 0.001, 0.0005], [i * 0.001, 0.0]]),
+                polygon_id=f"t{i}",
+            )
+            for i in range(20)
+        ]
+        world = Polygon(
+            np.array([[-179.0, -85.0], [179.0, -85.0], [179.0, 85.0], [-179.0, 85.0], [-179.0, -85.0]]),
+            polygon_id="world",
+        )
+        pset = PolygonSet(tiny + [world])
+        assert len(pset._big_pids) == 1
+        pt, poly = pset.join(np.array([0.0001, 50.0]), np.array([0.0001, 50.0]), "INTERSECTS")
+        pairs = set(zip(pt.tolist(), poly.tolist()))
+        assert (0, 0) in pairs      # tiny polygon t0 via the cell index
+        assert (0, 20) in pairs     # world polygon via the big-pid path
+        assert (1, 20) in pairs     # far point only matches the world polygon
