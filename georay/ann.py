@@ -47,11 +47,11 @@ def cosine_topk(queries: np.ndarray, cand: np.ndarray, cand_ids: np.ndarray, k: 
     sim = sim[:, order]
     ids_sorted = cand_ids[order]
     kk = min(k, sim.shape[1])
-    part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
     rows = np.arange(sim.shape[0])[:, None]
-    psim = sim[rows, part]
-    srt = np.argsort(-psim, axis=1, kind="stable")  # ties keep id order
-    top = part[rows, srt]
+    # full (sim desc, id asc) lexsort — argpartition leaves ties at the
+    # k-boundary in arbitrary order, breaking the documented oracle
+    # tie-break exactly when the corpus contains duplicate vectors
+    top = np.lexsort((np.broadcast_to(ids_sorted, sim.shape), -sim), axis=1)[:, :kk]
     return ids_sorted[top], sim[rows, top]
 
 

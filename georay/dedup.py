@@ -30,9 +30,38 @@ import pyarrow.compute as pc
 MERSENNE_P = np.uint64((1 << 61) - 1)
 
 
+def segment_reduce(ufunc, values: np.ndarray, offsets: np.ndarray, empty_fill, axis0_shape=None):
+    """Per-segment ``ufunc.reduceat`` that handles EMPTY segments correctly.
+
+    Clamping trailing empty-segment starts to len-1 (the naive fix for
+    reduceat's index bound) silently ends the PREVIOUS segment one element
+    early — a document's reduction then depends on whether an empty doc
+    follows it in the batch.  Reducing over only the non-empty starts is
+    exact: zero-width segments between two non-empty ones contribute no
+    elements, so consecutive non-empty starts still delimit the right
+    ranges.  Empty segments get ``empty_fill``.
+    """
+    n = len(offsets) - 1
+    starts = offsets[:-1]
+    nonempty = starts < offsets[1:]
+    if axis0_shape is None:
+        out = np.full(n, empty_fill, dtype=values.dtype if hasattr(values, "dtype") else None)
+    else:
+        out = np.full((n,) + axis0_shape, empty_fill, dtype=values.dtype)
+    if len(values) and nonempty.any():
+        res = ufunc.reduceat(values, starts[nonempty].astype(np.int64), axis=0)
+        out[nonempty] = res
+    return out
+
+
 def md5_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """Exact-dedup partial: stable digest per text (the hash-partition key)."""
-    hs = [hashlib.md5(t.encode()).hexdigest() for t in batch.column(text_col).to_pylist()]
+    """Exact-dedup partial: stable digest per text (the hash-partition key).
+    Null text hashes to a sentinel distinct from the empty string, so
+    null rows group together without crashing the stage."""
+    hs = [
+        hashlib.md5(b"\x00<NULL>" if t is None else t.encode()).hexdigest()
+        for t in batch.column(text_col).to_pylist()
+    ]
     return pa.table({"h": pa.array(hs, pa.string()), id_col: batch.column(id_col)})
 
 
@@ -97,13 +126,9 @@ def minhash_signatures(text: pa.Array, num_perm: int = 128, k: int = 3) -> np.nd
     if len(sh) == 0:
         return sig
     a, b = _perm_params(num_perm)
-    starts = offsets[:-1]
-    nonempty = starts < offsets[1:]
-    safe_starts = np.minimum(starts, len(sh) - 1)
     for p in range(num_perm):
         vals = (a[p] * sh + b[p]) % MERSENNE_P
-        mins = np.minimum.reduceat(vals, safe_starts)
-        sig[nonempty, p] = mins[nonempty]
+        sig[:, p] = segment_reduce(np.minimum, vals, offsets, np.iinfo(np.uint64).max)
     return sig
 
 
@@ -284,8 +309,7 @@ def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
         th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False)).astype(np.uint64)
         bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
         signed = bits.astype(np.int32) * 2 - 1  # (n_tokens, 64) in {-1, +1}
-        starts = np.minimum(offsets[:-1], len(flat) - 1)
-        acc = np.add.reduceat(signed, starts, axis=0)
+        acc = segment_reduce(np.add, signed, offsets, 0, axis0_shape=(64,))
         nonempty = offsets[:-1] < offsets[1:]
         bitvals = (acc > 0).astype(np.uint8)
         packed = np.packbits(bitvals, axis=1, bitorder="little").view(np.uint64).ravel()
@@ -377,8 +401,27 @@ def embed_lsh_pairs(ds, vectors_ref, threshold: float, n_tables: int = 8, n_plan
         sorted_ids = np.asarray(ids)[order]
         da = batch.column("doc_a").to_numpy()
         db = batch.column("doc_b").to_numpy()
-        a = order[np.searchsorted(sorted_ids, da)]
-        b = order[np.searchsorted(sorted_ids, db)]
+        pa_pos = np.searchsorted(sorted_ids, da)
+        pb_pos = np.searchsorted(sorted_ids, db)
+        # the broadcast payload must cover every id in the stream — an
+        # unchecked searchsorted would score a missing id against an
+        # unrelated vector (or index out of bounds)
+        ok = (
+            (pa_pos < len(sorted_ids))
+            & (pb_pos < len(sorted_ids))
+        )
+        if not ok.all():
+            missing = np.unique(np.concatenate([da[~ok], db[~ok]]))[:5]
+            raise ValueError(f"vectors payload missing ids (e.g. {missing.tolist()})")
+        if len(da) and (
+            (sorted_ids[pa_pos] != da).any() or (sorted_ids[pb_pos] != db).any()
+        ):
+            bad = np.unique(
+                np.concatenate([da[sorted_ids[pa_pos] != da], db[sorted_ids[pb_pos] != db]])
+            )[:5]
+            raise ValueError(f"vectors payload missing ids (e.g. {bad.tolist()})")
+        a = order[pa_pos]
+        b = order[pb_pos]
         sim = np.einsum("ij,ij->i", unit[a], unit[b]) if len(a) else np.empty(0)
         keep = sim >= threshold
         return pa.table({"vec_a": pa.array(da[keep]), "vec_b": pa.array(db[keep])})

@@ -68,19 +68,30 @@ def _floats(text: str) -> np.ndarray:
     return np.fromstring(text.replace(",", " "), sep=" ") if text else np.empty(0)
 
 
-def _coords_of(elem, dim: int = 2) -> np.ndarray:
-    """Collect pos / posList children (in document order) -> (N,2)."""
-    vals = []
+def _coords_of(elem, dim: int | None = None) -> np.ndarray:
+    """Collect pos / posList children (in document order) -> (N,2).
+
+    The stride comes from ``srsDimension`` on the element or the
+    posList/pos child (G-08: dims > 2 dropped); default 2.
+    """
+    def dim_of(child) -> int:
+        for source in (child, elem):
+            v = source.get("srsDimension")
+            if v:
+                return int(v)
+        return dim or 2
+
+    rows = []
     for ch in list(elem):
         name = _local(ch.tag)
         if name == "posList":
-            vals.append(_floats(ch.text))
+            d = dim_of(ch)
+            rows.append(_floats(ch.text).reshape(-1, d)[:, :2])
         elif name == "pos":
-            vals.append(_floats(ch.text)[:dim])
-    if not vals:
+            rows.append(_floats(ch.text)[:2].reshape(1, 2))
+    if not rows:
         return np.empty((0, 2))
-    flat = np.concatenate(vals)
-    return flat.reshape(-1, dim)[:, :2]
+    return np.concatenate(rows)
 
 
 def _find_children(elem, *names):
@@ -316,9 +327,18 @@ def is_spatially_related(predicate: str, desc1: dict, desc2: dict) -> bool:
         raise ValueError(f"Predicate {pred} not defined for {ka} vs {kb}")
 
     results = [relate(a, b) for a in pairs(g1) for b in pairs(g2)]
-    if pred == "DISJOINT":
+    # multi-geometry aggregation: INTERSECTS/BBOX are existential (any
+    # member pair suffices); WITHIN/CONTAINS/DISJOINT are universal
+    # (every member must satisfy the relation).  Other predicates over
+    # multi operands have no simple pairwise reduction — reject loudly.
+    multi = g1[0] == "multi" or g2[0] == "multi"
+    if pred in ("DISJOINT", "WITHIN", "CONTAINS"):
         return all(results)
-    return any(results)
+    if pred in ("INTERSECTS", "BBOX"):
+        return any(results)
+    if multi:
+        raise ValueError(f"Predicate {pred} is not defined over multi-geometries here")
+    return results[0]
 
 
 def parse_temporal(elem):

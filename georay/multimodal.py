@@ -96,12 +96,16 @@ class ResizeStage:
             raise NotImplementedError("resize requires an image library; use fake=True")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        w = batch.column("width").to_numpy().astype(np.float64)
-        h = batch.column("height").to_numpy().astype(np.float64)
-        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
-        out = batch.drop_columns(["width", "height"])
-        out = out.append_column("width", pa.array((w * scale).astype(np.int32)))
-        out = out.append_column("height", pa.array((h * scale).astype(np.int32)))
+        w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch.column("height").to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        # unknown dims stay null (NaN would cast to INT32_MIN garbage)
+        nulls = np.isnan(w) | np.isnan(h)
+        new_w = pa.array(np.where(nulls, 0, w * scale).astype(np.int32), mask=nulls)
+        new_h = pa.array(np.where(nulls, 0, h * scale).astype(np.int32), mask=nulls)
+        out = batch.set_column(batch.schema.get_field_index("width"), "width", new_w)
+        out = out.set_column(out.schema.get_field_index("height"), "height", new_h)
         return out
 
 

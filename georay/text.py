@@ -39,14 +39,16 @@ def token_counts(text: pa.Array) -> dict[str, np.ndarray]:
     n_punct   = length(regexp_extract_all(text, '[.,;:!?]'))
     n_stop    = length(regexp_extract_all(lower(text), STOPWORD_RE))
     """
+    def _count(arr) -> np.ndarray:
+        # null text -> 0, not NaN-cast-to-INT64_MIN garbage
+        return arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+
     return {
-        "n_chars": pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64),
-        "n_tokens": pc.count_substring_regex(text, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.int64),
-        "n_bpe": pc.count_substring_regex(text, BPE_RE).to_numpy(zero_copy_only=False).astype(np.int64),
-        "n_punct": pc.count_substring_regex(text, PUNCT_RE).to_numpy(zero_copy_only=False).astype(np.int64),
-        "n_stop": pc.count_substring_regex(pc.utf8_lower(text), STOPWORD_RE)
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64),
+        "n_chars": _count(pc.utf8_length(text)),
+        "n_tokens": _count(pc.count_substring_regex(text, TOKEN_RE)),
+        "n_bpe": _count(pc.count_substring_regex(text, BPE_RE)),
+        "n_punct": _count(pc.count_substring_regex(text, PUNCT_RE)),
+        "n_stop": _count(pc.count_substring_regex(pc.utf8_lower(text), STOPWORD_RE)),
     }
 
 
@@ -95,16 +97,15 @@ def detect_language(text: pa.Array) -> np.ndarray:
     toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\W+")
     flat = toks.flatten().to_numpy(zero_copy_only=False)
     offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    from georay.dedup import segment_reduce
+
     scores = np.zeros((n, len(_LANG_PROFILES)), dtype=np.int32)
     langs = list(_LANG_PROFILES)
-    empty = offsets[:-1] == offsets[1:]
-    starts = np.minimum(offsets[:-1], max(0, len(flat) - 1)).astype(np.int64)
     for li, lang in enumerate(langs):
         prof = _LANG_PROFILES[lang]
         if len(flat):
             hits = np.fromiter((t in prof for t in flat), count=len(flat), dtype=np.int32)
-            scores[:, li] = np.add.reduceat(hits, starts)
-        scores[empty, li] = 0
+            scores[:, li] = segment_reduce(np.add, hits, offsets, 0)
     best = np.argmax(scores, axis=1)
     best_score = scores[np.arange(n), best]
     out = np.asarray([langs[b] for b in best], dtype=object)

@@ -60,3 +60,13 @@ class TestIVF:
         b = IVFKNN(v, ids, n_lists=4).search(v[:3], k=3)
         for x, y in zip(a[0], b[0]):
             np.testing.assert_array_equal(x, y)
+
+
+class TestTieBreakAtKBoundary:
+    def test_duplicate_vectors_pick_lowest_ids(self):
+        # 1000 identical candidates: top-5 must be ids 0..4 (sim desc, id asc)
+        v = np.tile(np.array([[1.0, 2.0, 3.0]]), (1000, 1))
+        ids = np.arange(1000, dtype=np.int64)
+        top_ids, sims = cosine_topk(v[:1], v, ids, k=5)
+        np.testing.assert_array_equal(top_ids[0], [0, 1, 2, 3, 4])
+        np.testing.assert_allclose(sims[0], 1.0)

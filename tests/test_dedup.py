@@ -157,3 +157,29 @@ class TestEmbedLshPipeline:
         assert got_set <= brute_set
         recall = len(got_set) / len(brute_set)
         assert recall >= 0.9  # default 12 planes x 8 tables at cos>0.9
+
+
+class TestBatchCompositionIndependence:
+    """Regression: a document's signature must not depend on what follows
+    it in the batch (the reduceat trailing-empty-segment bug)."""
+
+    def test_minhash_stable_with_trailing_empty(self):
+        a = minhash_signatures(pa.array([DOC]))
+        b = minhash_signatures(pa.array([DOC, "   "]))
+        np.testing.assert_array_equal(a[0], b[0])
+
+    def test_simhash_stable_with_trailing_null(self):
+        s1 = simhash_batch(tbl([DOC])).column("simhash").to_pylist()[0]
+        t2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                       "text": pa.array([DOC, None], pa.string())})
+        s2 = simhash_batch(t2).column("simhash").to_pylist()[0]
+        assert s1 == s2
+
+    def test_md5_batch_null_text(self):
+        t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["x", None], pa.string())})
+        from georay.dedup import md5_batch
+        out = md5_batch(t)
+        assert out.num_rows == 2
+        hs = out.column("h").to_pylist()
+        assert hs[0] != hs[1]

@@ -85,3 +85,19 @@ class TestFingerprint:
         b = a.replace("w9", "CHANGED")
         out = fingerprint_batch(tbl([a, b]))
         assert out.column("fp_count").to_pylist()[0] > 0
+
+
+class TestNullAndBatchIndependence:
+    def test_langid_stable_with_trailing_null(self):
+        a = detect_language(pa.array(["quick brown fox the"]))
+        b = detect_language(pa.array(["quick brown fox the", None]))
+        assert a[0] == b[0] == "en"
+
+    def test_token_counts_null_text_zero(self):
+        c = token_counts(pa.array(["hello world", None]))
+        assert c["n_tokens"][1] == 0 and c["n_chars"][1] == 0
+
+    def test_quality_null_text(self):
+        out = quality_batch(tbl(["ok text here", None]))
+        bp = out.column("quality_bp").to_pylist()
+        assert 0 <= bp[1] <= 10000
