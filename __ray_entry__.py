@@ -820,7 +820,8 @@ def oracle_sql() -> dict[str, str]:
                     + cos(radians(n.lat))*cos(radians(n.qy))
                       *pow(sin(radians(n.qx - n.lon)/2.0), 2)))) < 300000.0""",
         "segment_revenue": """
-            SELECT c.c_mktsegment, SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS revenue_cents,
+            SELECT c.c_mktsegment,
+                   CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    COUNT(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment""",
@@ -841,8 +842,8 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (
               SELECT user_id, ts,
-                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+                     CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
               FROM ordered)
             SELECT user_id, session_idx, COUNT(*) AS n_events,
                    MIN(ts) AS t_start, MAX(ts) AS t_end
@@ -934,13 +935,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
-                   SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+                   CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "top_customers": """
             SELECT o.o_custkey, c.c_name,
-                   SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS total_cents,
+                   CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
                    COUNT(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY o.o_custkey, c.c_name
@@ -948,6 +949,6 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": """
             SELECT event_type, COUNT(*) AS n_events,
                    MIN(ts) AS ts_min, MAX(ts) AS ts_max,
-                   SUM(CAST(round(value*100) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY event_type""",
     }

@@ -19,6 +19,16 @@ import ray
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # widen integer/float widths (int32 -> int64, float32 -> float64): the
+    # driver's value hash is width-insensitive but int-vs-float sensitive
+    for c in df.columns:
+        k = df[c].dtype.kind
+        if k == "i":
+            df[c] = df[c].astype("int64")
+        elif k == "u":
+            df[c] = df[c].astype("uint64")
+        elif k == "f":
+            df[c] = df[c].astype("float64")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -67,18 +77,21 @@ def main():
         ok_rows = len(got) == len(want)
         ok_cols = list(got.columns) == list(want.columns)
         ok_vals = False
+        ok_dtypes = True
         if ok_rows and ok_cols:
+            gv = got.reset_index(drop=True)
+            wv = want.reset_index(drop=True)
+            # The driver hashes VALUES, so a float64 123.0 vs int64 123
+            # mismatches there even when the numbers are equal — compare
+            # strictly, without dtype coercion, to mirror that gate.
+            ok_dtypes = list(map(str, gv.dtypes)) == list(map(str, wv.dtypes))
             try:
-                gv = got.reset_index(drop=True)
-                wv = want.reset_index(drop=True)
-                wv = wv.astype(gv.dtypes.to_dict(), errors="ignore")
-                ok_vals = gv.equals(wv)
-                if not ok_vals:
-                    # tolerate dtype-only mismatches by comparing as strings
-                    ok_vals = gv.astype(str).equals(wv.astype(str))
+                ok_vals = ok_dtypes and gv.equals(wv)
             except Exception:
                 ok_vals = False
         status = "OK  " if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        if status == "FAIL" and ok_rows and ok_cols and not ok_dtypes:
+            print(f"     dtype mismatch: got {list(map(str, got.dtypes))} want {list(map(str, want.dtypes))}")
         if status == "FAIL":
             failures += 1
         print(f"{status} {name}: rows {len(got)}/{len(want)} cols_match={ok_cols} vals_match={ok_vals}")
