@@ -183,14 +183,12 @@ def _q_text_invariant(sf_dir: str):
 
 def _q_dedup_exact(sf_dir: str):
     """Exact text dedup: keep min doc_id per distinct text (hash-partition
-    + per-group min; SURVEY.md §2.8 exact dedup)."""
+    on a vectorized 128-bit content key + per-group min; only 16-byte keys
+    shuffle; SURVEY.md §2.8 exact dedup)."""
+    from georay.dedup import text_key_batch
 
-    def h(b: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(t.encode()).hexdigest() for t in b.column("text").to_pylist()]
-        return pa.table({"h": pa.array(hs, pa.string()), "doc_id": b.column("doc_id")})
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    agg = ds.map_batches(h, batch_format="pyarrow").groupby("h").aggregate(
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    agg = ds.map_batches(text_key_batch, batch_format="pyarrow").groupby(["h1", "h2"]).aggregate(
         Min("doc_id", alias_name="doc_id")
     )
     return agg.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
@@ -306,30 +304,41 @@ def _q_langid(sf_dir: str):
 
 
 def _q_fingerprint(sf_dir: str):
+    """Winnowing fingerprints with the md5 hash backend, whose shingle
+    hash DuckDB mirrors exactly via md5_number_lower — full value oracle."""
     from georay.text import fingerprint_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
-
-
-def _q_simhash(sf_dir: str):
-    from georay.dedup import simhash_batch
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(simhash_batch, batch_format="pyarrow").map_batches(
-        lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow"
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b, hash_impl="md5"), batch_format="pyarrow"
     )
 
 
+def _q_simhash(sf_dir: str):
+    """SimHash with the md5 token-hash backend (DuckDB-mirrorable) —
+    full value oracle reconstructs every bit via majority vote in SQL."""
+    from georay.dedup import simhash_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: simhash_batch(b, hash_impl="md5"), batch_format="pyarrow"
+    ).map_batches(lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow")
+
+
 def _q_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup candidate pairs (band groupby is the only
-    shuffle; SURVEY.md §2.8).  Deterministic; rows-only driver check."""
-    from georay.dedup import band_bucket_pairs, minhash_band_batch
+    """MinHash+LSH candidates (band groupby is the only wide exchange)
+    verified with EXACT 3-shingle Jaccard >= 1/2 decided in integer
+    arithmetic.  Oracle-checkable: the SQL mirror computes all-pairs exact
+    Jaccard; LSH recall at the planted-pair similarity (J >= 0.9 in the
+    testdata, 32 bands x 4 rows) has miss probability ~(1-0.9^4)^32 ≈
+    1e-15, so both sides emit the identical pair set."""
+    from georay.dedup import band_bucket_pairs, jaccard_verify_pairs, minhash_band_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     banded = ds.map_batches(minhash_band_batch, batch_format="pyarrow")
-    pairs = band_bucket_pairs(banded)
-    return pairs.map_batches(lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    cand = band_bucket_pairs(banded)
+    verified = jaccard_verify_pairs(cand, ds, k=3, threshold_num=1, threshold_den=2)
+    return verified.map_batches(lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
 
 
 def _q_embed_dup_pairs(sf_dir: str):
@@ -375,21 +384,18 @@ def _q_ann_cosine(sf_dir: str):
 
 def _q_embed_lsh_pairs(sf_dir: str):
     """LSH-bucketed embedding near-dup (scale path): hyperplane keys ->
-    bucket groupby -> exact-cosine verification. Precision 1, recall < 1
-    (rows-only check; recall measured in pytest vs the brute kernel)."""
-    import pyarrow.parquet as pq
-
-    from georay.ann import _to_matrix
+    bucket groupby (NO single-task merge) -> exact-cosine verification by
+    hash-joining candidates back against the vector dataset (the corpus
+    is never broadcast).  Full value oracle: the SQL mirror recomputes the
+    hyperplane keys from the same plane matrix (passed as VALUES), joins
+    on (table, key), and applies the same cosine >= 0.30 filter."""
     from georay.dedup import embed_lsh_pairs
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    payload = {"ids": t.column("vec_id").to_numpy(), "vectors": _to_matrix(t.column("embedding"))}
-    ref = ray.put(payload)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     # 4 planes/table: collision prob for a cos=0.30 pair is ~0.6^4=0.13 per
     # table (~2/3 over 8 tables); true NEAR-dup workloads (cos>0.9) use the
     # default 12 planes — see tests/test_dedup.py planted-duplicate recall
-    return embed_lsh_pairs(ds, ref, threshold=0.30, n_planes=4)
+    return embed_lsh_pairs(ds, threshold=0.30, n_planes=4)
 
 
 def _q_ann_ivf(sf_dir: str):
@@ -700,6 +706,46 @@ def _ref_sql_values() -> str:
     )
 
 
+def _lsh_plane_sql_values(n_tables: int = 8, n_planes: int = 4, dim: int = 64) -> str:
+    """The hyperplane matrices used by georay.dedup.hyperplane_keys
+    (seed 11+t), emitted as SQL list literals; repr() round-trips float64
+    exactly, so DuckDB recomputes the identical dot products."""
+    rows = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(11 + t)
+        planes = rng.standard_normal((dim, n_planes))
+        for j in range(n_planes):
+            vec = ",".join(repr(v) for v in planes[:, j])
+            rows.append(f"({t},{j},[{vec}])")
+    return ",\n    ".join(rows)
+
+
+def _langid_case_sql() -> str:
+    """Chained tie-break CASE mirroring np.argmax's first-max rule over
+    the profile order in georay.text._LANG_PROFILES."""
+    from georay.text import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)
+    parts = []
+    for i, lang in enumerate(langs[:-1]):
+        cond = " AND ".join(f"s_{lang} >= s_{r}" for r in langs[i + 1 :])
+        parts.append(f"WHEN {cond} THEN '{lang}'")
+    parts.append(f"ELSE '{langs[-1]}'")
+    return "\n                 ".join(parts)
+
+
+def _langid_score_sql() -> str:
+    from georay.text import _LANG_PROFILES
+
+    cols = []
+    for lang, prof in _LANG_PROFILES.items():
+        words = ",".join(f"'{w}'" for w in sorted(prof))
+        cols.append(
+            f"len(list_filter(tk, t -> t IN ({words}))) AS s_{lang}"
+        )
+    return ",\n                     ".join(cols)
+
+
 def oracle_sql() -> dict[str, str]:
     from georay.text import BPE_RE, STOPWORD_RE
 
@@ -721,6 +767,104 @@ def oracle_sql() -> dict[str, str]:
                      length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
                      length(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS n_stop
               FROM documents)""",
+        "langid": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\W+'), t -> t <> '') AS tk,
+                     length(regexp_extract_all(text, '[一-鿿]')) AS cjk
+              FROM documents),
+            scored AS (
+              SELECT doc_id, cjk,
+                     {_langid_score_sql()}
+              FROM toks)
+            SELECT doc_id, CASE
+                 WHEN cjk > 0 THEN 'zh'
+                 WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                 {_langid_case_sql()} END AS lang_pred
+            FROM scored""",
+        "simhash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS tok
+              FROM documents),
+            th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+            bits AS (
+              SELECT doc_id, b.bit
+              FROM th, (SELECT unnest(range(64)) AS bit) b
+              GROUP BY doc_id, b.bit
+              HAVING 2*SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE 0 END) > COUNT(*)),
+            packed AS (
+              SELECT doc_id, SUM(1::HUGEINT << bit) AS uval FROM bits GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(CASE WHEN p.uval IS NULL THEN 0
+                             WHEN p.uval >= 9223372036854775808 THEN p.uval - 18446744073709551616
+                             ELSE p.uval END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN packed p USING (doc_id)""",
+        "fingerprint": """
+            WITH base AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(tk) >= 3
+                  THEN list_transform(range(1, len(tk)-1),
+                                      i -> md5_number_lower(tk[i]||' '||tk[i+1]||' '||tk[i+2]))
+                  ELSE list_transform(tk, t -> md5_number_lower(t)) END AS hs
+              FROM base),
+            mins AS (
+              SELECT doc_id,
+                CASE WHEN len(hs) >= 4
+                  THEN list_distinct(list_transform(range(1, len(hs)-2), i -> list_min(hs[i:i+3])))
+                  WHEN len(hs) >= 1 THEN [list_min(hs)]
+                  ELSE CAST([] AS UBIGINT[]) END AS fp
+              FROM sh),
+            agg AS (SELECT doc_id, fp, list_aggregate(fp, 'bit_xor') AS x FROM mins)
+            SELECT doc_id, len(fp) AS fp_count,
+                   CAST(CASE WHEN len(fp) = 0 THEN 0
+                             WHEN x >= 9223372036854775808 THEN x - 18446744073709551616
+                             ELSE x END AS BIGINT) AS fp_digest
+            FROM agg""",
+        "minhash_pairs": """
+            WITH base AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+              FROM documents),
+            shl AS (
+              SELECT doc_id,
+                CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tk)-1),
+                                                    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]))
+                  ELSE list_distinct(tk) END AS s
+              FROM base),
+            cnt AS (SELECT doc_id, len(s) AS c FROM shl),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM shl),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b
+            FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE 2*i >= ca.c + cb.c - i
+            UNION ALL
+            SELECT a.doc_id, b.doc_id FROM cnt a, cnt b
+            WHERE a.c = 0 AND b.c = 0 AND a.doc_id < b.doc_id""",
+        "embed_lsh_pairs": f"""
+            WITH planes(tbl, pl, v) AS (VALUES
+            {_lsh_plane_sql_values()}),
+            keys AS (
+              SELECT e.vec_id, p.tbl,
+                     SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.v) > 0
+                              THEN 1 << p.pl ELSE 0 END) AS k
+              FROM embeddings e, planes p GROUP BY e.vec_id, p.tbl),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM keys a JOIN keys b
+                ON a.tbl = b.tbl AND a.k = b.k AND a.vec_id < b.vec_id)
+            SELECT c.vec_a, c.vec_b
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.vec_a
+            JOIN embeddings eb ON eb.vec_id = c.vec_b
+            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) >= 0.30""",
         "embed_dup_pairs": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a, embeddings b

@@ -54,15 +54,54 @@ def segment_reduce(ufunc, values: np.ndarray, offsets: np.ndarray, empty_fill, a
     return out
 
 
+#: two independent 16-byte keys -> a 128-bit combined text key; collision
+#: probability at 10^12 docs is ~(10^12)^2 / 2^129 ≈ 1e-15 — safe for
+#: exact dedup without per-row Python hashing.
+_KEY_A = "georay-dedup-keyA"[:16].ljust(16, "0")
+_KEY_B = "georay-dedup-keyB"[:16].ljust(16, "0")
+
+
+def text_key_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Exact-dedup partial: 128-bit vectorized content key per text (the
+    hash-partition key) as two uint64 columns ``h1``/``h2``.  Null text
+    hashes to a stable sentinel distinct from the empty string.  Fully
+    vectorized (pandas' C hash kernel) — no per-document Python loop."""
+    txt = batch.column(text_col).to_numpy(zero_copy_only=False)
+    h1 = pd.util.hash_array(txt, hash_key=_KEY_A).astype(np.uint64)
+    h2 = pd.util.hash_array(txt, hash_key=_KEY_B).astype(np.uint64)
+    return pa.table(
+        {
+            "h1": pa.array(h1.astype(np.int64), pa.int64()),
+            "h2": pa.array(h2.astype(np.int64), pa.int64()),
+            id_col: batch.column(id_col),
+        }
+    )
+
+
 def md5_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """Exact-dedup partial: stable digest per text (the hash-partition key).
-    Null text hashes to a sentinel distinct from the empty string, so
-    null rows group together without crashing the stage."""
+    """md5 digest per text (verification surfaces whose SQL oracle needs
+    literal ``md5(text)``; production dedup uses :func:`text_key_batch`).
+    Null text hashes to a sentinel distinct from the empty string."""
     hs = [
         hashlib.md5(b"\x00<NULL>" if t is None else t.encode()).hexdigest()
         for t in batch.column(text_col).to_pylist()
     ]
     return pa.table({"h": pa.array(hs, pa.string()), id_col: batch.column(id_col)})
+
+
+def md5_u64(strings: np.ndarray) -> np.ndarray:
+    """DuckDB-mirrorable 64-bit string hash: ``md5_number_lower(s)`` ==
+    little-endian uint64 of md5 digest bytes [8:16].  Hashes each UNIQUE
+    value once (vocabulary-bounded), then scatters — the per-unique-token
+    hashlib call is the only non-vectorized step, bounded by batch
+    vocabulary rather than token count."""
+    if len(strings) == 0:
+        return np.empty(0, np.uint64)
+    uniq, inv = np.unique(strings, return_inverse=True)
+    out = np.empty(len(uniq), np.uint64)
+    for i, s in enumerate(uniq):
+        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+    return out[inv]
 
 
 # ---------------------------------------------------------------------------
@@ -76,16 +115,16 @@ def _perm_params(num_perm: int, seed: int = 7):
     return a, b
 
 
-def _shingle_hashes(text: pa.Array, k: int = 3):
-    """Whitespace tokens -> rolling k-token shingle hashes (uint64),
-    flattened across the batch with per-doc offsets."""
+def _tokens_nonempty(text: pa.Array):
+    """Whitespace split -> (token object array, per-doc offsets) with empty
+    tokens dropped (splitting '' — or padded text — yields empty tokens).
+    Null docs contribute zero tokens."""
     toks = pc.split_pattern_regex(text, r"\s+")
     flat = toks.flatten()
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     n = len(text)
     if len(flat) == 0:
-        return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
-    # splitting '' yields one empty token — drop empties and rebuild offsets
+        return np.empty(0, dtype=object), np.zeros(n + 1, np.int64)
     tok_np = flat.to_numpy(zero_copy_only=False)
     lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
     keep = lens > 0
@@ -93,29 +132,137 @@ def _shingle_hashes(text: pa.Array, k: int = 3):
         kept_cum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
         offsets = kept_cum[offsets]
         tok_np = tok_np[keep]
-        if len(tok_np) == 0:
-            return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
-    th = pd.util.hash_array(tok_np).astype(np.uint64)
-    # rolling combine within each doc; shingles crossing doc boundaries are
-    # masked out by rebuilding offsets
+    return tok_np, offsets
+
+
+def _gather_segments(n_per_seg: np.ndarray, src_starts: np.ndarray):
+    """Vectorized ragged gather plan: for segment i, read ``n_per_seg[i]``
+    consecutive elements starting at ``src_starts[i]``.  Returns flat
+    source indices (concatenated, segment order preserved)."""
+    total = int(n_per_seg.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    seg_of = np.repeat(np.arange(len(n_per_seg)), n_per_seg)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_per_seg)[:-1]]), n_per_seg
+    )
+    return src_starts[seg_of] + pos
+
+
+def _shingle_layout(offsets: np.ndarray, k: int):
+    """Per-doc output layout for rolling k-shingles: docs with >= k tokens
+    emit m-k+1 shingles, shorter non-empty docs fall back to their m raw
+    tokens.  Returns (out_offsets, big_doc_token_starts, small_mask)."""
+    m = np.diff(offsets)
+    out_counts = np.where(m >= k, m - k + 1, m)
+    out_offsets = np.zeros(len(m) + 1, np.int64)
+    np.cumsum(out_counts, out=out_offsets[1:])
+    return m, out_counts, out_offsets
+
+
+def _roll_shingles(th: np.ndarray, offsets: np.ndarray, k: int):
+    """Vectorized per-doc rolling k-combine of token hashes (uint64
+    wraparound arithmetic); no per-document Python loop.  Shingles never
+    cross document boundaries; docs with fewer than k tokens contribute
+    their raw token hashes."""
+    n = len(offsets) - 1
+    m, out_counts, out_offsets = _shingle_layout(offsets, k)
+    T = len(th)
+    out = np.empty(out_offsets[-1], np.uint64)
     C1, C2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0x85EBCA77C2B2AE63)
-    sh_offsets = np.zeros(n + 1, dtype=np.int64)
-    parts = []
-    for i in range(n):
-        s, e = offsets[i], offsets[i + 1]
-        m = e - s
-        if m >= k:
-            sh = th[s : e - k + 1] * C1
-            for j in range(1, k):
-                sh = sh + th[s + j : e - k + 1 + j] * (C2 if j % 2 else C1 ^ C2)
-            parts.append(sh)
-            sh_offsets[i + 1] = sh_offsets[i] + len(sh)
-        elif m > 0:
-            parts.append(th[s:e])
-            sh_offsets[i + 1] = sh_offsets[i] + m
-        else:
-            sh_offsets[i + 1] = sh_offsets[i]
-    return (np.concatenate(parts) if parts else np.empty(0, np.uint64)), sh_offsets
+    big = m >= k
+    if big.any() and T >= k:
+        sh_all = th[: T - k + 1] * C1
+        for j in range(1, k):
+            sh_all = sh_all + th[j : T - k + 1 + j] * (C2 if j % 2 else C1 ^ C2)
+        src = _gather_segments(np.where(big, m - k + 1, 0), offsets[:-1])
+        dst = _gather_segments(np.where(big, m - k + 1, 0), out_offsets[:-1])
+        out[dst] = sh_all[src]
+    small = (m > 0) & (m < k)
+    if small.any():
+        src = _gather_segments(np.where(small, m, 0), offsets[:-1])
+        dst = _gather_segments(np.where(small, m, 0), out_offsets[:-1])
+        out[dst] = th[src]
+    return out, out_offsets
+
+
+def _shingle_hashes(text: pa.Array, k: int = 3):
+    """Whitespace tokens -> rolling k-token shingle hashes (uint64),
+    flattened across the batch with per-doc offsets; fully vectorized."""
+    tok_np, offsets = _tokens_nonempty(text)
+    n = len(offsets) - 1
+    if len(tok_np) == 0:
+        return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+    th = pd.util.hash_array(tok_np).astype(np.uint64)
+    return _roll_shingles(th, offsets, k)
+
+
+def _shingle_strings(tok_np: np.ndarray, offsets: np.ndarray, k: int = 3):
+    """Per-doc k-token shingles as ' '-joined STRINGS (the md5 oracle
+    backend: DuckDB mirrors them as ``tk[i]||' '||tk[i+1]||' '||tk[i+2]``).
+    Same layout rules as :func:`_roll_shingles`."""
+    n = len(offsets) - 1
+    m, out_counts, out_offsets = _shingle_layout(offsets, k)
+    T = len(tok_np)
+    out = np.empty(out_offsets[-1], dtype=object)
+    big = m >= k
+    if big.any() and T >= k:
+        sh_all = tok_np[: T - k + 1]
+        for j in range(1, k):
+            sh_all = sh_all + " "
+            sh_all = sh_all + tok_np[j : T - k + 1 + j]
+        src = _gather_segments(np.where(big, m - k + 1, 0), offsets[:-1])
+        dst = _gather_segments(np.where(big, m - k + 1, 0), out_offsets[:-1])
+        out[dst] = sh_all[src]
+    small = (m > 0) & (m < k)
+    if small.any():
+        src = _gather_segments(np.where(small, m, 0), offsets[:-1])
+        dst = _gather_segments(np.where(small, m, 0), out_offsets[:-1])
+        out[dst] = tok_np[src]
+    return out, out_offsets
+
+
+def winnow_minima(values: np.ndarray, offsets: np.ndarray, window: int = 4):
+    """Winnowing (Schleimer et al. 2003): per-doc sliding-window minima of
+    the hash stream, deduplicated.  Returns per-doc ``(fp_count,
+    fp_xor_digest)`` — fully vectorized (global sliding window + boundary
+    masking + lexsort dedup + reduceat), no per-document loop."""
+    n = len(offsets) - 1
+    cnt = np.diff(offsets)
+    counts = np.zeros(n, np.int64)
+    digests = np.zeros(n, np.uint64)
+    if len(values) == 0:
+        return counts, digests
+    doc_of = np.repeat(np.arange(n), cnt)
+    mins_parts = []
+    docs_parts = []
+    T = len(values)
+    if T >= window:
+        view = np.lib.stride_tricks.sliding_window_view(values, window)
+        valid = doc_of[: T - window + 1] == doc_of[window - 1 :]
+        if valid.any():
+            mins_parts.append(view.min(axis=1)[valid])
+            docs_parts.append(doc_of[: T - window + 1][valid])
+    small = (cnt > 0) & (cnt < window)
+    if small.any():
+        small_min = segment_reduce(np.minimum, values, offsets, np.iinfo(np.uint64).max)
+        mins_parts.append(small_min[small])
+        docs_parts.append(np.nonzero(small)[0])
+    if not mins_parts:
+        return counts, digests
+    mins = np.concatenate(mins_parts)
+    docs = np.concatenate(docs_parts)
+    order = np.lexsort((mins, docs))
+    mins, docs = mins[order], docs[order]
+    first = np.ones(len(mins), bool)
+    first[1:] = (docs[1:] != docs[:-1]) | (mins[1:] != mins[:-1])
+    mins, docs = mins[first], docs[first]
+    np.add.at(counts, docs, 1)
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    nz = counts > 0
+    digests[nz] = np.bitwise_xor.reduceat(mins, starts[:-1][nz])
+    return counts, digests
 
 
 def minhash_signatures(text: pa.Array, num_perm: int = 128, k: int = 3) -> np.ndarray:
@@ -192,16 +339,64 @@ def _bucket_list_merge(batch: pa.Table) -> pa.Table:
     )
 
 
-def band_bucket_pairs(banded_ds, id_col: str = "doc_id", fanout: int = 8, max_bucket: int = 512):
+def band_bucket_pairs(
+    banded_ds, id_col: str = "doc_id", fanout: int = 8, max_bucket: int = 512,
+    mode: str = "tree",
+):
     """(band, key, doc_id) rows -> distinct candidate pairs (doc_a < doc_b).
 
-    Tree-merged bucket aggregation (same pattern as the cell aggregate):
-    per-block pyarrow group_by into id-lists, coalesce, merge, then one
-    vectorized pair-expansion pass — avoids Ray's per-group ``map_groups``
-    dispatch, which costs ~0.5 ms per bucket and dominates when most LSH
-    buckets hold a single document.  Buckets larger than ``max_bucket``
-    are truncated (pathological all-identical shards) and flagged.
+    mode="tree" (default): per-block pyarrow group_by into id-lists,
+    coalesce, merge, then one vectorized pair-expansion pass — avoids
+    Ray's per-group ``map_groups`` dispatch (~0.5 ms per bucket, dominant
+    when most LSH buckets are singletons).  The final merge coalesces to
+    one task, so this mode is for MODERATE bucket-table cardinality
+    (≤ a few million buckets of id-lists after per-block combining).
+
+    mode="groupby": Ray's sort-based ``groupby(["band","key"])`` with a
+    per-bucket pair kernel — the scale path when the bucket table cannot
+    flow through one merge task.  Per-group dispatch bounds it to
+    workloads whose bucket count is itself bounded (e.g. hyperplane LSH:
+    ``2^planes × tables`` buckets), or to true-cluster scale where the
+    dispatch spreads across nodes.
+
+    Buckets larger than ``max_bucket`` are truncated in both modes
+    (pathological all-identical shards) and flagged.
     """
+    if mode == "groupby":
+        from ray.data.aggregate import Max as _Max
+
+        pairs = banded_ds.groupby(["band", "key"]).map_groups(
+            lambda g: bucket_pairs(g, id_col=id_col, max_bucket=max_bucket),
+            batch_format="pandas",
+        )
+
+        def _as_int(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_a": b.column("doc_a"),
+                    "doc_b": b.column("doc_b"),
+                    "truncated": b.column("truncated").cast(pa.int32()),
+                }
+            )
+
+        distinct = (
+            pairs.map_batches(_as_int, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(_Max("truncated", alias_name="truncated"))
+        )
+        return distinct.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_a": b.column("doc_a"),
+                    "doc_b": b.column("doc_b"),
+                    "truncated": pa.compute.cast(
+                        pa.compute.greater(b.column("truncated"), 0), pa.bool_()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     merged = banded_ds.map_batches(
         lambda b: _bucket_list_partial(b, id_col), batch_format="pyarrow", batch_size=None
     )
@@ -296,17 +491,25 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+def simhash_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id", hash_impl: str = "fast"
+) -> pa.Table:
     """64-bit SimHash per document + 4x16-bit block keys for hamming-<=3
-    candidate bucketing (Charikar 2002 / Manku et al. 2007, public)."""
+    candidate bucketing (Charikar 2002 / Manku et al. 2007, public).
+
+    ``hash_impl="fast"`` (default): pandas' vectorized C hash kernel.
+    ``hash_impl="md5"``: DuckDB-mirrorable ``md5_number_lower`` token hash
+    (vocabulary-bounded hashing of unique tokens) — the oracle-parity
+    backend; the algorithm is hash-agnostic."""
     text = batch.column(text_col).combine_chunks()
-    toks = pc.split_pattern_regex(text, r"\s+")
-    flat = toks.flatten()
-    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_np, offsets = _tokens_nonempty(text)
     n = len(text)
     sims = np.zeros(n, dtype=np.uint64)
-    if len(flat):
-        th = pd.util.hash_array(flat.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    if len(tok_np):
+        if hash_impl == "md5":
+            th = md5_u64(tok_np)
+        else:
+            th = pd.util.hash_array(tok_np).astype(np.uint64)
         bits = np.unpackbits(th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
         signed = bits.astype(np.int32) * 2 - 1  # (n_tokens, 64) in {-1, +1}
         acc = segment_reduce(np.add, signed, offsets, 0, axis0_shape=(64,))
@@ -342,21 +545,28 @@ def hyperplane_keys(vecs: np.ndarray, n_planes: int = 16, seed: int = 11) -> np.
     return out.view(np.int32).ravel()
 
 
-def embed_lsh_pairs(ds, vectors_ref, threshold: float, n_tables: int = 8, n_planes: int = 12,
-                    vec_col: str = "embedding", id_col: str = "vec_id"):
+def embed_lsh_pairs(ds, vectors_ref=None, threshold: float = 0.9, n_tables: int = 8,
+                    n_planes: int = 12, vec_col: str = "embedding", id_col: str = "vec_id",
+                    mode: str = "groupby", num_partitions: int = 8, max_bucket: int = 512):
     """Distributed LSH-bucketed near-dup pipeline (the scale path):
 
     1. map_batches: ``n_tables`` independent hyperplane keys per vector ->
        exploded (band, key, id) rows (band = table index; only 12 bytes
        per (vector, table) ever shuffles);
-    2. :func:`band_bucket_pairs` tree merge -> candidate pairs;
-    3. verification map_batches: exact cosine against the broadcast
-       vector matrix, keep pairs >= threshold.
+    2. :func:`band_bucket_pairs` (default mode="groupby" — bucket count is
+       bounded by ``2^planes × tables``, so per-group dispatch is cheap
+       and NO single-task merge appears in the DAG) -> candidate pairs;
+    3. verification: hash-join the candidate pairs back against the
+       vector dataset (both sides), then exact cosine >= threshold.  The
+       corpus is never broadcast — only candidate rows and their two
+       vectors move.
+
+    ``vectors_ref`` is accepted for backward compatibility and ignored
+    (verification no longer needs a broadcast matrix).
 
     Recall < 1 by construction (tested against the brute kernel);
     precision = 1 because of the exact verification step.
     """
-    import ray as _ray
 
     def keys_batch(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -386,47 +596,153 @@ def embed_lsh_pairs(ds, vectors_ref, threshold: float, n_tables: int = 8, n_plan
             }
         )
 
-    cand = band_bucket_pairs(ds.map_batches(keys_batch, batch_format="pyarrow"))
+    cand = band_bucket_pairs(
+        ds.map_batches(keys_batch, batch_format="pyarrow"), mode=mode, max_bucket=max_bucket
+    )
+    return cosine_verify_pairs(
+        cand, ds, threshold, vec_col=vec_col, id_col=id_col, num_partitions=num_partitions
+    )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        payload = _ray.get(vectors_ref) if isinstance(vectors_ref, _ray.ObjectRef) else vectors_ref
-        ids = np.asarray(payload["ids"])
-        vecs = np.asarray(payload["vectors"], dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms[:, None]
-        # vectorized id -> row mapping (a python dict over millions of
-        # candidate pairs dominates the stage otherwise)
-        order = np.argsort(ids, kind="stable")
-        sorted_ids = np.asarray(ids)[order]
+
+def _list_to_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(col), -1)
+
+
+def _bin_to_matrix(col) -> np.ndarray:
+    """fixed_size_binary column of packed float64 rows -> (n, d) matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    width = col.type.byte_width
+    raw = b"".join(col.to_pylist())
+    return np.frombuffer(raw, dtype=np.float64).reshape(len(col), width // 8)
+
+
+def cosine_verify_pairs(pairs_ds, vectors_ds, threshold: float,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        num_partitions: int = 8):
+    """Exact-cosine verification of candidate (doc_a, doc_b) pairs via two
+    distributed hash joins against the vector dataset — the scale-safe
+    alternative to broadcasting the whole matrix (only candidate rows and
+    their two vectors move; both joins partition on the pair ids).
+
+    Vectors travel through the join as packed fixed-size binary (Arrow's
+    hash join does not accept list columns as payload)."""
+    # candidate tables are tiny relative to the corpus — pin them so the
+    # count() below doesn't re-execute the candidate DAG for the join
+    pairs_ds = pairs_ds.materialize()
+    rows = pairs_ds.count()
+    if rows == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())})
+        )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        mat = np.ascontiguousarray(_list_to_matrix(batch.column(vec_col)))
+        width = mat.shape[1] * 8 if batch.num_rows else 8
+        arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), len(mat), [None, pa.py_buffer(mat.tobytes())]
+        )
+        return pa.table({id_col: batch.column(id_col), "vec_bin": arr})
+
+    packed = vectors_ds.map_batches(pack, batch_format="pyarrow")
+    j1 = pairs_ds.join(
+        packed, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=(id_col,),
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["vec_bin_a" if c == "vec_bin" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        packed, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=(id_col,),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+            )
+        va = _bin_to_matrix(batch.column("vec_bin_a"))
+        vb = _bin_to_matrix(batch.column("vec_bin"))
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        sim = np.einsum("ij,ij->i", va / na[:, None], vb / nb[:, None])
+        keep = sim >= threshold
         da = batch.column("doc_a").to_numpy()
         db = batch.column("doc_b").to_numpy()
-        pa_pos = np.searchsorted(sorted_ids, da)
-        pb_pos = np.searchsorted(sorted_ids, db)
-        # the broadcast payload must cover every id in the stream — an
-        # unchecked searchsorted would score a missing id against an
-        # unrelated vector (or index out of bounds)
-        ok = (
-            (pa_pos < len(sorted_ids))
-            & (pb_pos < len(sorted_ids))
-        )
-        if not ok.all():
-            missing = np.unique(np.concatenate([da[~ok], db[~ok]]))[:5]
-            raise ValueError(f"vectors payload missing ids (e.g. {missing.tolist()})")
-        if len(da) and (
-            (sorted_ids[pa_pos] != da).any() or (sorted_ids[pb_pos] != db).any()
-        ):
-            bad = np.unique(
-                np.concatenate([da[sorted_ids[pa_pos] != da], db[sorted_ids[pb_pos] != db]])
-            )[:5]
-            raise ValueError(f"vectors payload missing ids (e.g. {bad.tolist()})")
-        a = order[pa_pos]
-        b = order[pb_pos]
-        sim = np.einsum("ij,ij->i", unit[a], unit[b]) if len(a) else np.empty(0)
-        keep = sim >= threshold
         return pa.table({"vec_a": pa.array(da[keep]), "vec_b": pa.array(db[keep])})
 
-    return cand.map_batches(verify, batch_format="pyarrow", batch_size=None)
+    return j2.map_batches(score, batch_format="pyarrow")
+
+
+def jaccard_verify_pairs(pairs_ds, docs_ds, k: int = 3, threshold_num: int = 1,
+                         threshold_den: int = 2, id_col: str = "doc_id",
+                         text_col: str = "text", num_partitions: int = 8):
+    """Exact k-shingle Jaccard verification of candidate pairs: keep
+    (doc_a, doc_b) iff ``|Sa ∩ Sb| * den >= |Sa ∪ Sb| * num`` — i.e.
+    J >= num/den decided in INTEGER arithmetic (float-free, so a DuckDB
+    mirror computes the identical predicate).  Shingles are ' '-joined
+    k-token windows (tokens contain no whitespace, so the join is
+    injective); docs shorter than k tokens use their raw token set; two
+    empty shingle sets count as a match (J := 1, reference semantics of
+    :func:`jaccard_ngrams`).
+
+    Texts are fetched by distributed hash join of the candidate ids
+    against the documents dataset — the corpus is never broadcast.
+    """
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+        )
+    j1 = pairs_ds.join(
+        docs_ds, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=(id_col,),
+    ).map_batches(
+        lambda b: b.rename_columns(["text_a" if c == text_col else c for c in b.column_names]),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        docs_ds, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=(id_col,),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column(text_col).to_pylist()
+
+        def shingles(s):
+            t = (s or "").split()
+            if len(t) < k:
+                return set(t)
+            return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+        keep = np.empty(len(ta), bool)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sa, sb = shingles(x), shingles(y)
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            keep[i] = inter * threshold_den >= union * threshold_num
+        da = batch.column("doc_a").to_numpy()
+        db = batch.column("doc_b").to_numpy()
+        return pa.table({"doc_a": pa.array(da[keep]), "doc_b": pa.array(db[keep])})
+
+    return j2.map_batches(score, batch_format="pyarrow")
 
 
 def cosine_pairs(vecs: np.ndarray, ids: np.ndarray, threshold: float) -> pa.Table:

@@ -102,9 +102,9 @@ def detect_language(text: pa.Array) -> np.ndarray:
     scores = np.zeros((n, len(_LANG_PROFILES)), dtype=np.int32)
     langs = list(_LANG_PROFILES)
     for li, lang in enumerate(langs):
-        prof = _LANG_PROFILES[lang]
+        prof = sorted(_LANG_PROFILES[lang])
         if len(flat):
-            hits = np.fromiter((t in prof for t in flat), count=len(flat), dtype=np.int32)
+            hits = np.isin(flat, prof).astype(np.int32)
             scores[:, li] = segment_reduce(np.add, hits, offsets, 0)
     best = np.argmax(scores, axis=1)
     best_score = scores[np.arange(n), best]
@@ -123,48 +123,37 @@ def langid_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
 # document fingerprinting (winnowing over a rolling token-hash window)
 # ---------------------------------------------------------------------------
 
-def _token_hashes(text: pa.Array):
-    """Stable 64-bit hash per whitespace token -> (flat_hashes, offsets)."""
-    toks = pc.split_pattern_regex(text, r"\s+")
-    flat = toks.flatten()
-    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    if len(flat) == 0:
-        return np.empty(0, dtype=np.uint64), offsets
-    h = pd.util.hash_array(flat.to_numpy(zero_copy_only=False)).astype(np.uint64)
-    return h, offsets
-
-
 def fingerprint_batch(
-    batch: pa.Table, window: int = 4, text_col: str = "text", id_col: str = "doc_id"
+    batch: pa.Table, window: int = 4, text_col: str = "text", id_col: str = "doc_id",
+    hash_impl: str = "fast",
 ) -> pa.Table:
     """Winnowing fingerprint (Schleimer et al. 2003, SIGMOD — public
-    algorithm): rolling k-token shingle hashes, minimum per sliding window,
-    deduplicated; emitted as a per-doc fingerprint count + xor-combined
-    digest (order-insensitive, oracle-unfriendly by nature -> rows-only)."""
+    algorithm): rolling 3-token shingle hashes, minimum per sliding
+    window, deduplicated; emitted as a per-doc fingerprint count +
+    xor-combined digest.  Fully vectorized (shared shingle/winnow kernels
+    in :mod:`georay.dedup` — no per-document Python loop).
+
+    ``hash_impl="fast"`` (default): pandas' C hash of tokens + rolling
+    arithmetic combine.  ``hash_impl="md5"``: shingle STRINGS hashed with
+    the DuckDB-mirrorable ``md5_number_lower`` (vocabulary-bounded unique
+    hashing) — the oracle-parity backend; the winnowing algorithm is
+    hash-agnostic."""
+    from georay.dedup import (
+        _shingle_hashes,
+        _shingle_strings,
+        _tokens_nonempty,
+        md5_u64,
+        winnow_minima,
+    )
+
     text = batch.column(text_col).combine_chunks()
-    h, offsets = _token_hashes(text)
-    n = len(batch)
-    counts = np.zeros(n, dtype=np.int64)
-    digests = np.zeros(n, dtype=np.uint64)
-    K = np.uint64(0x9E3779B97F4A7C15)
-    for i in range(n):
-        s, e = offsets[i], offsets[i + 1]
-        th = h[s:e]
-        if len(th) == 0:
-            continue
-        # 3-token rolling shingles
-        if len(th) >= 3:
-            sh = th[:-2] * K + th[1:-1] * np.uint64(0x85EBCA77C2B2AE63) + th[2:]
-        else:
-            sh = th
-        if len(sh) >= window:
-            view = np.lib.stride_tricks.sliding_window_view(sh, window)
-            mins = view.min(axis=1)
-        else:
-            mins = np.asarray([sh.min()], dtype=np.uint64)
-        fp = np.unique(mins)
-        counts[i] = len(fp)
-        digests[i] = np.bitwise_xor.reduce(fp)
+    if hash_impl == "md5":
+        tok_np, offsets = _tokens_nonempty(text)
+        sh_strings, sh_offsets = _shingle_strings(tok_np, offsets, k=3)
+        sh = md5_u64(sh_strings)
+    else:
+        sh, sh_offsets = _shingle_hashes(text, k=3)
+    counts, digests = winnow_minima(sh, sh_offsets, window)
     return pa.table(
         {
             id_col: batch.column(id_col),
