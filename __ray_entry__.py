@@ -215,16 +215,34 @@ def _q_lineitem_agg(sf_dir: str):
         )
         return t
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_c", alias_name="sum_qty_cents"),
-            Sum("price_c", alias_name="sum_price_cents"),
-            Count(alias_name="count_order"),
+    # 6 flag/status groups: pre-combined pyarrow group_by tree (partial
+    # sums per block -> tiny merge), no sort shuffle
+    def combine(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty_c", "sum"), ("price_c", "sum"), ("qty_c", "count")])
+            .rename_columns(
+                ["l_returnflag", "l_linestatus", "sum_qty_cents", "sum_price_cents", "count_order"]
+            )
         )
+
+    def merge(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [("sum_qty_cents", "sum"), ("sum_price_cents", "sum"), ("count_order", "sum")]
+            )
+            .rename_columns(
+                ["l_returnflag", "l_linestatus", "sum_qty_cents", "sum_price_cents", "count_order"]
+            )
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
     )
-    return agg
 
 
 def _q_top_customers(sf_dir: str):
@@ -255,11 +273,23 @@ def _q_top_customers(sf_dir: str):
             names = [self.names.get(k) for k in keys]
             return b.append_column("c_name", pa.array(names, pa.string()))
 
-    named = per_cust.map_batches(
+    def local_top(b: pa.Table) -> pa.Table:
+        return b.sort_by(
+            [("total_cents", "descending"), ("o_custkey", "ascending")]
+        ).slice(0, 10)
+
+    # per-block top-10 partials + one tiny merge instead of a global sort
+    # shuffle (merge input is <= 10 x #blocks rows)
+    top = (
+        per_cust.map_batches(local_top, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(local_top, batch_format="pyarrow", batch_size=None)
+    )
+    # names attached AFTER the top-k: the broadcast map touches 10 rows
+    named = top.map_batches(
         AttachName, fn_constructor_kwargs={"ref": cust_ref}, batch_format="pyarrow", concurrency=1
     )
-    top = named.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(10)
-    return top.map_batches(
+    return named.map_batches(
         lambda b: b.select(["o_custkey", "c_name", "total_cents", "n_orders"]), batch_format="pyarrow"
     )
 
@@ -271,15 +301,32 @@ def _q_events_by_type(sf_dir: str):
         c = np.round(b.column("value").to_numpy() * 100).astype(np.int64)
         return pa.table({"event_type": b.column("event_type"), "ts": b.column("ts"), "value_c": pa.array(c)})
 
+    # 5 distinct event types: per-block pyarrow combine + one tiny merge
+    # beats a sort-based shuffle, and every block carries a typed schema
+    # (Ray's sort aggregate emits schemaless empty partitions otherwise)
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by("event_type")
+            .aggregate(
+                [("value_c", "count"), ("ts", "min"), ("ts", "max"), ("value_c", "sum")]
+            )
+            .rename_columns(["event_type", "n_events", "ts_min", "ts_max", "value_cents"])
+        )
+
+    def merge(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by("event_type")
+            .aggregate(
+                [("n_events", "sum"), ("ts_min", "min"), ("ts_max", "max"), ("value_cents", "sum")]
+            )
+            .rename_columns(["event_type", "n_events", "ts_min", "ts_max", "value_cents"])
+        )
+
     return (
         ds.map_batches(to_cents, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(
-            Count(alias_name="n_events"),
-            Min("ts", alias_name="ts_min"),
-            Max("ts", alias_name="ts_max"),
-            Sum("value_c", alias_name="value_cents"),
-        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -565,11 +612,32 @@ def _q_segment_revenue(sf_dir: str):
         c = np.round(b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
         return pa.table({"o_custkey": b.column("o_custkey"), "price_c": pa.array(c)})
 
+    # join partitions sized to the cluster, not a constant (starves a real
+    # cluster otherwise); the segment rollup is 5 groups -> pre-combined
+    # pyarrow group_by tree, no sort shuffle
+    n_part = max(4, int(ray.cluster_resources().get("CPU", 4)))
     joined = orders.map_batches(to_cents, batch_format="pyarrow").join(
-        cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",)
+        cust, join_type="inner", num_partitions=n_part, on=("o_custkey",), right_on=("c_custkey",)
     )
-    return joined.groupby("c_mktsegment").aggregate(
-        Sum("price_c", alias_name="revenue_cents"), Count(alias_name="n_orders")
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by("c_mktsegment")
+            .aggregate([("price_c", "sum"), ("price_c", "count")])
+            .rename_columns(["c_mktsegment", "revenue_cents", "n_orders"])
+        )
+
+    def merge(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by("c_mktsegment")
+            .aggregate([("revenue_cents", "sum"), ("n_orders", "sum")])
+            .rename_columns(["c_mktsegment", "revenue_cents", "n_orders"])
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -582,10 +650,29 @@ def _q_geo_explode(sf_dir: str):
 
 
 def _q_distinct_segments(sf_dir: str):
-    """Set op: distinct market segments (Dataset.unique analog via
-    hash-partition groupby count)."""
+    """Set op: distinct market segments (Dataset.unique analog) via
+    per-block pyarrow count partials + tiny merge."""
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
-    return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by("c_mktsegment")
+            .aggregate([("c_mktsegment", "count")])
+            .rename_columns(["c_mktsegment", "n_customers"])
+        )
+
+    def merge(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by("c_mktsegment")
+            .aggregate([("n_customers", "sum")])
+            .rename_columns(["c_mktsegment", "n_customers"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def _q_sessionize(sf_dir: str):
