@@ -602,6 +602,66 @@ def _q_dwithin_poly(sf_dir: str):
     ).map_batches(lambda b: b.select(["doc_id", "polygon_id"]), batch_format="pyarrow")
 
 
+def _q_poly_join(sf_dir: str):
+    """Area-area DE-9IM join (the raster-tile-clip vs admin-polygon case):
+    each doc becomes an axis-aligned clip box (half-width a pure function
+    of doc_id), streamed against the broadcast star polygons; emits every
+    intersecting pair with its CONTAINS/WITHIN/TOUCHES/OVERLAPS/EQUALS
+    flags.  Exact float arithmetic end to end — the SQL oracle mirrors
+    every orientation/parity comparison term for term
+    (TopologicalRelationships.java:74-91 semantics)."""
+    from georay.geom.relate import box_polygon_relations
+    from georay.pipelines.polygons import N_STARS, rect_bounds, star_ring
+
+    stars = []
+    for sid in range(N_STARS):
+        minlon, minlat, maxlon, maxlat = rect_bounds(sid)
+        stars.append(
+            (
+                f"star-{sid}",
+                star_ring(sid),
+                ((minlon + maxlon) / 2.0, (minlat + maxlat) / 2.0),
+            )
+        )
+    ref = ray.put(stars)
+
+    def relate_batch(b: pa.Table) -> pa.Table:
+        payload = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        did = b.column("doc_id").to_numpy()
+        lon = b.column("lon").to_numpy()
+        lat = b.column("lat").to_numpy()
+        hw = 0.1 + (did % 8).astype(np.float64) * 5.0
+        minx, miny, maxx, maxy = lon - hw, lat - hw, lon + hw, lat + hw
+        out_doc, out_pid, cols = [], [], {k: [] for k in
+                                          ("contains", "within", "touches", "overlaps", "equals")}
+        for pid, ring, ip in payload:
+            rel = box_polygon_relations(minx, miny, maxx, maxy, ring, ip)
+            m = rel["intersects"]
+            if not m.any():
+                continue
+            out_doc.append(did[m])
+            out_pid.extend([pid] * int(m.sum()))
+            for k in cols:
+                cols[k].append(rel[k][m])
+        if not out_doc:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "polygon_id": pa.array([], pa.string()),
+                    **{k: pa.array([], pa.bool_()) for k in cols},
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "polygon_id": pa.array(out_pid, pa.string()),
+                **{k: pa.array(np.concatenate(v), pa.bool_()) for k, v in cols.items()},
+            }
+        )
+
+    return _geo(sf_dir).map_batches(relate_batch, batch_format="pyarrow")
+
+
 def _q_segment_revenue(sf_dir: str):
     """Distributed hash join (Dataset.join) + groupby: revenue per market
     segment in integer cents."""
@@ -749,6 +809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": _q_segment_revenue,
         "geo_explode": _q_geo_explode,
         "distinct_segments": _q_distinct_segments,
+        "poly_join": _q_poly_join,
         "sessionize": _q_sessionize,
         "asof_purchase": _q_asof_purchase,
         "events_window": _q_events_window,
@@ -791,6 +852,16 @@ def _ref_sql_values() -> str:
     return ",\n    ".join(
         f"({int(i)},{lo!r},{la!r})" for i, lo, la in zip(refs["ref_id"], refs["lon"], refs["lat"])
     )
+
+
+def _star_center_sql_values() -> str:
+    from georay.pipelines.polygons import N_STARS, rect_bounds
+
+    rows = []
+    for sid in range(N_STARS):
+        minlon, minlat, maxlon, maxlat = rect_bounds(sid)
+        rows.append(f"('star-{sid}',{(minlon + maxlon) / 2.0!r},{(minlat + maxlat) / 2.0!r})")
+    return ",\n    ".join(rows)
 
 
 def _lsh_plane_sql_values(n_tables: int = 8, n_planes: int = 4, dim: int = 64) -> str:
@@ -1050,6 +1121,94 @@ def oracle_sql() -> dict[str, str]:
                     pow(sin(radians(n.qy - n.lat)/2.0), 2)
                     + cos(radians(n.lat))*cos(radians(n.qy))
                       *pow(sin(radians(n.qx - n.lon)/2.0), 2)))) < 300000.0""",
+        "poly_join": f"""{geo_pages},
+            boxes AS (
+              SELECT doc_id, lon - hw AS minx, lat - hw AS miny,
+                     lon + hw AS maxx, lat + hw AS maxy
+              FROM (SELECT doc_id, lon, lat,
+                           0.1 + CAST(doc_id % 8 AS DOUBLE) * 5.0 AS hw FROM geo)),
+            edges(polygon_id, eidx, x1, y1, x2, y2) AS (VALUES
+            {star_edges_sql_values(with_idx=True)}),
+            centers(polygon_id, ipx, ipy) AS (VALUES
+            {_star_center_sql_values()}),
+            vstats AS (
+              SELECT b.doc_id, e.polygon_id,
+                     BOOL_AND(e.x1 >= b.minx AND e.x1 <= b.maxx
+                              AND e.y1 >= b.miny AND e.y1 <= b.maxy) AS all_v_closed,
+                     BOOL_OR(e.x1 > b.minx AND e.x1 < b.maxx
+                             AND e.y1 > b.miny AND e.y1 < b.maxy) AS any_v_strict
+              FROM boxes b, edges e GROUP BY 1, 2),
+            pts AS (
+              SELECT doc_id, 0 AS pi, minx AS px, miny AS py FROM boxes UNION ALL
+              SELECT doc_id, 1, maxx, miny FROM boxes UNION ALL
+              SELECT doc_id, 2, maxx, maxy FROM boxes UNION ALL
+              SELECT doc_id, 3, minx, maxy FROM boxes UNION ALL
+              SELECT doc_id, 4, (minx + maxx)/2.0, (miny + maxy)/2.0 FROM boxes),
+            parity AS (
+              SELECT p.doc_id, e.polygon_id, p.pi,
+                     SUM(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py))
+                               AND (p.px < e.x1 + (p.py - e.y1)*(e.x2 - e.x1)/(e.y2 - e.y1))
+                          THEN 1 ELSE 0 END) % 2 = 1 AS inside
+              FROM pts p, edges e GROUP BY 1, 2, 3),
+            pstats AS (
+              SELECT doc_id, polygon_id,
+                     BOOL_OR(CASE WHEN pi < 4 THEN inside ELSE FALSE END) AS any_corner_in,
+                     BOOL_AND(CASE WHEN pi < 4 THEN inside ELSE TRUE END) AS all_corners_in,
+                     BOOL_OR(CASE WHEN pi = 4 THEN inside ELSE FALSE END) AS center_in
+              FROM parity GROUP BY 1, 2),
+            ipin AS (
+              SELECT b.doc_id, c.polygon_id,
+                     (c.ipx > b.minx AND c.ipx < b.maxx
+                      AND c.ipy > b.miny AND c.ipy < b.maxy) AS ip_in
+              FROM boxes b, centers c),
+            bedges AS (
+              SELECT doc_id,
+                CASE k.k WHEN 0 THEN minx WHEN 1 THEN maxx WHEN 2 THEN maxx ELSE minx END AS ax1,
+                CASE k.k WHEN 0 THEN miny WHEN 1 THEN miny WHEN 2 THEN maxy ELSE maxy END AS ay1,
+                CASE k.k WHEN 0 THEN maxx WHEN 1 THEN maxx WHEN 2 THEN minx ELSE minx END AS ax2,
+                CASE k.k WHEN 0 THEN miny WHEN 1 THEN maxy WHEN 2 THEN maxy ELSE miny END AS ay2
+              FROM boxes, (SELECT unnest(range(4)) AS k) k),
+            xk AS (
+              SELECT be.doc_id, e.polygon_id,
+                     be.ax1, be.ay1, be.ax2, be.ay2, e.x1, e.y1, e.x2, e.y2,
+                     (e.x2 - e.x1)*(be.ay1 - e.y1) - (e.y2 - e.y1)*(be.ax1 - e.x1) AS d1,
+                     (e.x2 - e.x1)*(be.ay2 - e.y1) - (e.y2 - e.y1)*(be.ax2 - e.x1) AS d2,
+                     (be.ax2 - be.ax1)*(e.y1 - be.ay1) - (be.ay2 - be.ay1)*(e.x1 - be.ax1) AS d3,
+                     (be.ax2 - be.ax1)*(e.y2 - be.ay1) - (be.ay2 - be.ay1)*(e.x2 - be.ax1) AS d4
+              FROM bedges be, edges e),
+            cstats AS (
+              SELECT doc_id, polygon_id,
+                BOOL_OR(((d1 > 0) <> (d2 > 0)) AND ((d3 > 0) <> (d4 > 0))
+                        AND d1 <> 0 AND d2 <> 0 AND d3 <> 0 AND d4 <> 0) AS proper_any,
+                BOOL_OR(
+                     (d1 = 0 AND ax1 >= LEAST(x1, x2) AND ax1 <= GREATEST(x1, x2)
+                              AND ay1 >= LEAST(y1, y2) AND ay1 <= GREATEST(y1, y2))
+                  OR (d2 = 0 AND ax2 >= LEAST(x1, x2) AND ax2 <= GREATEST(x1, x2)
+                              AND ay2 >= LEAST(y1, y2) AND ay2 <= GREATEST(y1, y2))
+                  OR (d3 = 0 AND x1 >= LEAST(ax1, ax2) AND x1 <= GREATEST(ax1, ax2)
+                              AND y1 >= LEAST(ay1, ay2) AND y1 <= GREATEST(ay1, ay2))
+                  OR (d4 = 0 AND x2 >= LEAST(ax1, ax2) AND x2 <= GREATEST(ax1, ax2)
+                              AND y2 >= LEAST(ay1, ay2) AND y2 <= GREATEST(ay1, ay2))
+                ) AS touch_any
+              FROM xk GROUP BY 1, 2),
+            sel AS (
+              SELECT v.doc_id, v.polygon_id,
+                     (c.proper_any OR v.any_v_strict OR p.any_corner_in
+                      OR p.center_in OR i.ip_in) AS interiors,
+                     (c.proper_any OR c.touch_any) AS contact,
+                     c.proper_any, v.all_v_closed, p.all_corners_in
+              FROM vstats v
+              JOIN pstats p USING (doc_id, polygon_id)
+              JOIN ipin i USING (doc_id, polygon_id)
+              JOIN cstats c USING (doc_id, polygon_id))
+            SELECT doc_id, polygon_id,
+                   (interiors AND NOT proper_any AND all_v_closed) AS contains,
+                   (interiors AND NOT proper_any AND all_corners_in) AS within,
+                   (NOT interiors) AS touches,
+                   (interiors AND NOT (interiors AND NOT proper_any AND all_v_closed)
+                              AND NOT (interiors AND NOT proper_any AND all_corners_in)) AS overlaps,
+                   (interiors AND NOT proper_any AND all_v_closed AND all_corners_in) AS equals
+            FROM sel WHERE interiors OR contact""",
         "segment_revenue": """
             SELECT c.c_mktsegment,
                    CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
