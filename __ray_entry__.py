@@ -602,6 +602,16 @@ def _q_dwithin_poly(sf_dir: str):
     ).map_batches(lambda b: b.select(["doc_id", "polygon_id"]), batch_format="pyarrow")
 
 
+def _q_conformance_vectors(sf_dir: str):
+    """Every pytest-only conformance operator family (R-02..R-09, G-01/02/
+    08/09/10, C-03..C-14, A-03/06/07/08/09, T-02/03/05, P-04/P-05) run on
+    its reference fixture; the oracle is a literal VALUES table of the
+    JUnit expectations (see georay/conformance.py for per-case citations)."""
+    from georay.conformance import conformance_table
+
+    return conformance_table()
+
+
 def _q_poly_join(sf_dir: str):
     """Area-area DE-9IM join (the raster-tile-clip vs admin-polygon case):
     each doc becomes an axis-aligned clip box (half-width a pure function
@@ -809,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": _q_segment_revenue,
         "geo_explode": _q_geo_explode,
         "distinct_segments": _q_distinct_segments,
+        "conformance_vectors": _q_conformance_vectors,
         "poly_join": _q_poly_join,
         "sessionize": _q_sessionize,
         "asof_purchase": _q_asof_purchase,
@@ -905,6 +916,7 @@ def _langid_score_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from georay.conformance import conformance_sql
     from georay.text import BPE_RE, STOPWORD_RE
 
     geo_pages = f"WITH {PAGES_SQL_CTE}, geo AS (SELECT * FROM pages WHERE has_geo)"
@@ -1121,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
                     pow(sin(radians(n.qy - n.lat)/2.0), 2)
                     + cos(radians(n.lat))*cos(radians(n.qy))
                       *pow(sin(radians(n.qx - n.lon)/2.0), 2)))) < 300000.0""",
+        "conformance_vectors": conformance_sql(),
         "poly_join": f"""{geo_pages},
             boxes AS (
               SELECT doc_id, lon - hw AS minx, lat - hw AS miny,
