@@ -372,13 +372,7 @@ def _q_simhash(sf_dir: str):
     ).map_batches(lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow")
 
 
-def _q_minhash_pairs(sf_dir: str):
-    """MinHash+LSH candidates (band groupby is the only wide exchange)
-    verified with EXACT 3-shingle Jaccard >= 1/2 decided in integer
-    arithmetic.  Oracle-checkable: the SQL mirror computes all-pairs exact
-    Jaccard; LSH recall at the planted-pair similarity (J >= 0.9 in the
-    testdata, 32 bands x 4 rows) has miss probability ~(1-0.9^4)^32 ≈
-    1e-15, so both sides emit the identical pair set."""
+def _minhash_verified_pairs(sf_dir: str):
     from georay.dedup import band_bucket_pairs, jaccard_verify_pairs, minhash_band_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -386,6 +380,28 @@ def _q_minhash_pairs(sf_dir: str):
     cand = band_bucket_pairs(banded)
     verified = jaccard_verify_pairs(cand, ds, k=3, threshold_num=1, threshold_den=2)
     return verified.map_batches(lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+
+
+def _q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH candidates (band groupby is the only wide exchange)
+    verified with EXACT 3-shingle Jaccard >= 1/2 decided in integer
+    arithmetic.  Oracle-checkable: the SQL mirror computes all-pairs exact
+    Jaccard; LSH recall at the planted-pair similarity (J >= 0.9 in the
+    testdata, 32 bands x 4 rows) has miss probability ~(1-0.9^4)^32 ≈
+    1e-15, so both sides emit the identical pair set."""
+    return _minhash_verified_pairs(sf_dir)
+
+
+def _q_dedup_resolve(sf_dir: str):
+    """Dedup RESOLUTION: near-dup candidate pairs -> connected components
+    -> canonical survivor (component-minimum doc_id) per clustered doc —
+    the step a training-data dedup applies after candidate generation.
+    Distributed min-label propagation (joins + groupby, no single-task
+    funnel); oracle = recursive transitive closure in SQL over the same
+    verified pair set."""
+    from georay.dedup import connected_components
+
+    return connected_components(_minhash_verified_pairs(sf_dir))
 
 
 def _q_embed_dup_pairs(sf_dir: str):
@@ -446,34 +462,33 @@ def _q_embed_lsh_pairs(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
-    """IVF-bucketed ANN (the scale path): probing ALL lists makes it
-    exact, so the brute-force SQL oracle applies verbatim — this checks
-    the quantizer + bucket plumbing, while partial-probe recall is
-    covered in pytest."""
-    import pyarrow.parquet as pq
+    """Distributed IVF ANN (the scale path): centroids built from a
+    BOUNDED sample (the only data that reaches the driver), then
+    assignment + probing run as a broadcast map_batches over the
+    streaming vector dataset — no full-table read, no shuffle.  Probing
+    ALL lists makes the result exact, so the brute-force SQL oracle
+    applies verbatim; partial-probe recall is covered in pytest."""
+    from georay.ann import IVFSearchActor, lloyd_centroids, merge_topk_partials, _to_matrix
 
-    from georay.ann import IVFKNN, _to_matrix
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    vecs = _to_matrix(t.column("embedding"))
-    ids = t.column("vec_id").to_numpy()
-    idx = IVFKNN(vecs, ids, n_lists=16)
-    queries_ = vecs[:4]
-    got_ids, _ = idx.search(queries_, k=5, nprobe=len(idx.buckets))
-    qids = ids[:4]
-    rows_q, rows_v, rows_r = [], [], []
-    for qi, neigh in zip(qids, got_ids):
-        for r, vid in enumerate(neigh, start=1):
-            rows_q.append(int(qi))
-            rows_v.append(int(vid))
-            rows_r.append(r)
-    return pa.table(
-        {
-            "query_id": pa.array(rows_q, pa.int64()),
-            "vec_id": pa.array(rows_v, pa.int64()),
-            "rank": pa.array(rows_r, pa.int64()),
-        }
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # bounded quantizer sample + the 4 query vectors (first rows by file order)
+    sample_tbl = pa.concat_tables(ray.get(ds.limit(256).to_arrow_refs()))
+    sample = _to_matrix(sample_tbl.column("embedding"))
+    centroids = lloyd_centroids(sample, n_lists=16)
+    qsel = sample_tbl.slice(0, 4)
+    payload = {
+        "query_id": qsel.column("vec_id").to_numpy(),
+        "vectors": _to_matrix(qsel.column("embedding")),
+        "centroids": centroids,
+    }
+    ref = ray.put(payload)
+    partials = ds.map_batches(
+        IVFSearchActor,
+        fn_constructor_kwargs={"payload_ref": ref, "k": 5, "nprobe": len(centroids)},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
     )
+    return merge_topk_partials(partials, k=5)
 
 
 def _q_dwithin(sf_dir: str):
@@ -805,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
         "minhash_pairs": _q_minhash_pairs,
+        "dedup_resolve": _q_dedup_resolve,
         "embed_dup_pairs": _q_embed_dup_pairs,
         "ann_cosine": _q_ann_cosine,
         "ann_ivf": _q_ann_ivf,
@@ -922,6 +938,29 @@ def oracle_sql() -> dict[str, str]:
     geo_pages = f"WITH {PAGES_SQL_CTE}, geo AS (SELECT * FROM pages WHERE has_geo)"
     ix7 = f"CAST(floor((lon+180.0)/360.0*{1 << CELL_RES}) AS BIGINT)"
     iy7 = f"CAST(floor((lat+90.0)/180.0*{1 << CELL_RES}) AS BIGINT)"
+    minhash_ctes = """base AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+              FROM documents),
+            shl AS (
+              SELECT doc_id,
+                CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tk)-1),
+                                                    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]))
+                  ELSE list_distinct(tk) END AS s
+              FROM base),
+            cnt AS (SELECT doc_id, len(s) AS c FROM shl),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM shl),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)"""
+    minhash_final = """
+            SELECT doc_a, doc_b
+            FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE 2*i >= ca.c + cb.c - i
+            UNION ALL
+            SELECT a.doc_id, b.doc_id FROM cnt a, cnt b
+            WHERE a.c = 0 AND b.c = 0 AND a.doc_id < b.doc_id"""
     return {
         "token_stats": f"""
             SELECT doc_id, n_chars, n_tokens, n_bpe, n_punct, n_stop,
@@ -994,29 +1033,17 @@ def oracle_sql() -> dict[str, str]:
                              WHEN x >= 9223372036854775808 THEN x - 18446744073709551616
                              ELSE x END AS BIGINT) AS fp_digest
             FROM agg""",
-        "minhash_pairs": """
-            WITH base AS (
-              SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
-              FROM documents),
-            shl AS (
-              SELECT doc_id,
-                CASE WHEN len(tk) >= 3
-                  THEN list_distinct(list_transform(range(1, len(tk)-1),
-                                                    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]))
-                  ELSE list_distinct(tk) END AS s
-              FROM base),
-            cnt AS (SELECT doc_id, len(s) AS c FROM shl),
-            ex AS (SELECT doc_id, unnest(s) AS g FROM shl),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT doc_a, doc_b
-            FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-            WHERE 2*i >= ca.c + cb.c - i
-            UNION ALL
-            SELECT a.doc_id, b.doc_id FROM cnt a, cnt b
-            WHERE a.c = 0 AND b.c = 0 AND a.doc_id < b.doc_id""",
+        "minhash_pairs": f"WITH {minhash_ctes}{minhash_final}",
+        "dedup_resolve": f"""
+            WITH RECURSIVE {minhash_ctes},
+            p AS ({minhash_final}),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM p
+                  UNION ALL SELECT doc_b, doc_a FROM p),
+            walk(u, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+              UNION
+              SELECT e.u, w.r FROM e JOIN walk w ON e.v = w.u)
+            SELECT u AS doc_id, MIN(r) AS survivor FROM walk GROUP BY u""",
         "embed_lsh_pairs": f"""
             WITH planes(tbl, pl, v) AS (VALUES
             {_lsh_plane_sql_values()}),

@@ -100,6 +100,89 @@ def merge_topk_partials(ds, k: int, id_col: str = "vec_id"):
     return t[["query_id", id_col, "rank"]]
 
 
+def lloyd_centroids(sample: np.ndarray, n_lists: int = 16, seed: int = 13,
+                    steps: int = 3) -> np.ndarray:
+    """Deterministic coarse quantizer from a (bounded) SAMPLE of the
+    corpus: fixed-seed init + a few Lloyd steps.  The sample is the only
+    data that ever reaches the driver at scale."""
+    sample = np.asarray(sample, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    n_lists = min(n_lists, max(1, n // 4))
+    centroids = sample[rng.choice(n, size=n_lists, replace=False)]
+    for _ in range(steps):
+        assign = IVFKNN._nearest(sample, centroids)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                centroids[c] = sample[m].mean(axis=0)
+    return centroids
+
+
+class IVFSearchActor:
+    """Distributed IVF probe as a broadcast map_batches actor — the scale
+    path: the 'index' shipped to workers is ONLY (queries, centroids);
+    each batch assigns its vectors to centroid lists locally, keeps those
+    in the union of the queries' ``nprobe`` probe lists, and emits
+    per-(query, batch) top-k partials (merged by
+    :func:`merge_topk_partials`).  No shuffle anywhere: probing is a
+    filtered broadcast map over the streaming vector dataset; with
+    ``nprobe >= n_lists`` the result is exact (the oracle configuration)."""
+
+    def __init__(self, payload_ref, k: int = 10, nprobe: int = 4,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        p = _resolve(payload_ref)
+        self.query_ids = np.asarray(p["query_id"], dtype=np.int64)
+        self.queries = np.asarray(p["vectors"], dtype=np.float64)
+        self.centroids = np.asarray(p["centroids"], dtype=np.float64)
+        self.k = int(k)
+        self.vec_col = vec_col
+        self.id_col = id_col
+        n_lists = len(self.centroids)
+        nprobe = min(int(nprobe), n_lists)
+        d = ((self.queries[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        probe = np.argsort(d, axis=1)[:, :nprobe]
+        self.probe_mask = np.zeros((len(self.queries), n_lists), dtype=bool)
+        rows = np.repeat(np.arange(len(self.queries)), nprobe)
+        self.probe_mask[rows, probe.ravel()] = True
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                self.id_col: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._empty()
+        vecs = _to_matrix(batch.column(self.vec_col))
+        ids = batch.column(self.id_col).to_numpy()
+        assign = IVFKNN._nearest(vecs, self.centroids)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(self.queries)):
+            m = self.probe_mask[qi][assign]
+            if not m.any():
+                continue
+            top_ids, top_sims = cosine_topk(
+                self.queries[qi : qi + 1], vecs[m], ids[m], self.k
+            )
+            out_q.append(np.full(top_ids.shape[1], self.query_ids[qi], dtype=np.int64))
+            out_i.append(top_ids[0])
+            out_s.append(top_sims[0])
+        if not out_q:
+            return self._empty()
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                self.id_col: pa.array(np.concatenate(out_i)),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
 class IVFKNN:
     """IVF-style ANN: nearest-centroid bucketing with deterministic
     centroids, probing ``nprobe`` buckets per query.

@@ -745,6 +745,120 @@ def jaccard_verify_pairs(pairs_ds, docs_ds, k: int = 3, threshold_num: int = 1,
     return j2.map_batches(score, batch_format="pyarrow")
 
 
+def connected_components(pairs_ds, num_partitions: int = 8, max_iter: int = 16):
+    """Candidate pairs -> (doc_id, survivor) per connected component: the
+    dedup-resolution step after candidate generation (the survivor is the
+    component-minimum id; every doc appearing in a pair gets a row).
+
+    Distributed min-label propagation: each round unions the label table
+    with the edge table keyed on the target node and runs a sort-based
+    ``groupby(node).map_groups`` that broadcasts the node's current label
+    to its neighbours, then takes the per-node minimum — nothing funnels
+    through a single task, and the per-group dispatch is bounded by the
+    number of docs that appear in candidate pairs (a tiny fraction of the
+    corpus).  Near-dup clusters have tiny diameter, so the loop converges
+    in a couple of rounds (checked via the monotone label sum, capped at
+    ``max_iter``).
+    """
+    import ray.data as _rd
+    from ray.data.aggregate import Min as _Min, Sum as _Sum
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "survivor": pa.array([], pa.int64())}
+    )
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() == 0:
+        return _rd.from_arrow(empty)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        da = b.column("doc_a").to_numpy()
+        db = b.column("doc_b").to_numpy()
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([da, db]), pa.int64()),
+                "v": pa.array(np.concatenate([db, da]), pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy()
+        v = b.column("v").to_numpy()
+        return pa.table(
+            {"node": pa.array(u, pa.int64()),
+             "label": pa.array(np.minimum(u, v), pa.int64())}
+        )
+
+    def _typed(b: pa.Table) -> pa.Table:
+        # Ray's sort-based aggregate emits schemaless EMPTY blocks for
+        # empty partitions, which the downstream hash join rejects —
+        # coerce every block to the declared (node, label) schema
+        if b.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        return b.select(["node", "label"])
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(_Min("label", alias_name="label"))
+        .map_batches(_typed, batch_format="pyarrow")
+        .materialize()
+    )
+    def edge_msgs(b: pa.Table) -> pa.Table:
+        # edge (u, v) -> message row keyed by v carrying neighbour u
+        return pa.table(
+            {
+                "key": b.column("v"),
+                "nbr": b.column("u"),
+                "label": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+            }
+        )
+
+    def label_msgs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("node"),
+                "nbr": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+                "label": b.column("label"),
+            }
+        )
+
+    def propagate(g):
+        import pandas as pd
+
+        lab = g.loc[g["nbr"] < 0, "label"]
+        key = int(g["key"].iloc[0])
+        L = int(lab.min()) if len(lab) else key
+        nbrs = g.loc[g["nbr"] >= 0, "nbr"].to_numpy()
+        nodes = np.concatenate([nbrs, [key]])
+        return pd.DataFrame({"node": nodes.astype(np.int64), "label": np.full(len(nodes), L, np.int64)})
+
+    prev = labels.aggregate(_Sum("label"))["sum(label)"]
+    for _ in range(max_iter):
+        msgs = edges.map_batches(edge_msgs, batch_format="pyarrow").union(
+            labels.map_batches(label_msgs, batch_format="pyarrow")
+        )
+        labels = (
+            msgs.groupby("key")
+            .map_groups(propagate, batch_format="pandas")
+            .groupby("node")
+            .aggregate(_Min("label", alias_name="label"))
+            .map_batches(_typed, batch_format="pyarrow")
+            .materialize()
+        )
+        cur = labels.aggregate(_Sum("label"))["sum(label)"]
+        if cur == prev:
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b.column("node"), "survivor": b.column("label")}),
+        batch_format="pyarrow",
+    )
+
+
 def cosine_pairs(vecs: np.ndarray, ids: np.ndarray, threshold: float) -> pa.Table:
     """Exact all-pairs cosine >= threshold within one bucket (or small side)."""
     norms = np.linalg.norm(vecs, axis=1)

@@ -183,3 +183,30 @@ class TestBatchCompositionIndependence:
         assert out.num_rows == 2
         hs = out.column("h").to_pylist()
         assert hs[0] != hs[1]
+
+
+class TestConnectedComponents:
+    def test_chain_and_disjoint(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from georay.dedup import connected_components
+
+        # chain 1-2-3-4 (diameter 3) + pair (10, 11) + isolated docs absent
+        pairs = pa.table({
+            "doc_a": pa.array([1, 2, 3, 10], pa.int64()),
+            "doc_b": pa.array([2, 3, 4, 11], pa.int64()),
+        })
+        out = connected_components(ray.data.from_arrow(pairs)).to_pandas()
+        got = dict(zip(out.doc_id, out.survivor))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from georay.dedup import connected_components
+
+        empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+        out = connected_components(ray.data.from_arrow(empty)).to_pandas()
+        assert len(out) == 0
