@@ -405,20 +405,55 @@ def _q_dedup_resolve(sf_dir: str):
 
 
 def _q_embed_dup_pairs(sf_dir: str):
-    """Embedding-cosine near-dup pairs (>= 0.30), brute within the small
-    table; oracle via DuckDB list_cosine_similarity on DOUBLE lists.
-    (0.30 sits >5e-7 from every pair similarity at all sfs, so the
-    f64 op-order difference between numpy and DuckDB cannot flip rows.)"""
+    """Embedding-cosine near-dup pairs (>= 0.30): the BRUTE baseline,
+    distributed as a map_batches sweep of the streaming vector dataset
+    against a broadcast unit matrix (explicitly the small-broadcast-side
+    path — the LSH query is the scale path).  Each batch emits its
+    (batch_row < broadcast_row) pairs, so every pair appears exactly
+    once.  Oracle via DuckDB list_cosine_similarity on DOUBLE lists
+    (0.30 sits >5e-7 from every pair similarity at all sfs, so f64
+    op-order differences cannot flip rows)."""
     import pyarrow.parquet as pq
 
     from georay.ann import _to_matrix
-    from georay.dedup import cosine_pairs
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     vecs = _to_matrix(t.column("embedding"))
-    ids = t.column("vec_id").to_numpy()
-    out = cosine_pairs(vecs, ids, 0.30)
-    return out.select(["vec_a", "vec_b"])
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    ref = ray.put({"ids": t.column("vec_id").to_numpy(), "unit": vecs / norms[:, None]})
+
+    class BruteDupActor:
+        def __init__(self, payload_ref):
+            p = ray.get(payload_ref) if isinstance(payload_ref, ray.ObjectRef) else payload_ref
+            self.all_ids = np.asarray(p["ids"], dtype=np.int64)
+            self.unit = np.asarray(p["unit"], dtype=np.float64)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+                )
+            v = _to_matrix(b.column("embedding"))
+            n = np.linalg.norm(v, axis=1)
+            n[n == 0] = 1.0
+            sim = (v / n[:, None]) @ self.unit.T
+            ids = b.column("vec_id").to_numpy()
+            ia, ib = np.nonzero((sim >= 0.30) & (ids[:, None] < self.all_ids[None, :]))
+            return pa.table(
+                {
+                    "vec_a": pa.array(ids[ia], pa.int64()),
+                    "vec_b": pa.array(self.all_ids[ib], pa.int64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        BruteDupActor,
+        fn_constructor_kwargs={"payload_ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
 
 
 def _q_ann_cosine(sf_dir: str):
@@ -615,6 +650,39 @@ def _q_dwithin_poly(sf_dir: str):
         batch_format="pyarrow",
         concurrency=(1, 4),
     ).map_batches(lambda b: b.select(["doc_id", "polygon_id"]), batch_format="pyarrow")
+
+
+def _q_media_decode(sf_dir: str):
+    """Multimodal plumbing as a driver-checked pipeline: synthesize an
+    opaque binary media payload per document, run the actor-pool decode
+    stage (codec stubbed — no media libs in this container — with the
+    DuckDB-mirrorable md5 fake backend) and the resize stage, and emit
+    the typed metadata columns.  The SQL oracle reconstructs payload hex,
+    the fake decode's width/height/luma bit-slices, and the resize
+    truncation exactly."""
+    from georay.multimodal import ImageDecodeStage, ResizeStage, synth_media_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    media = ds.map_batches(
+        lambda b: synth_media_batch(b, hash_impl="md5"), batch_format="pyarrow"
+    )
+    decoded = media.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"fake": True, "hash_impl": "md5"},
+        batch_format="pyarrow",
+        batch_size=64,  # media rows are wide: keep batch x concurrency small
+        concurrency=(1, 4),
+    )
+    resized = decoded.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"max_side": 256, "fake": True},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    return resized.map_batches(
+        lambda b: b.select(["media_id", "width", "height", "n_channels", "mean_luma"]),
+        batch_format="pyarrow",
+    )
 
 
 def _q_conformance_vectors(sf_dir: str):
@@ -835,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": _q_segment_revenue,
         "geo_explode": _q_geo_explode,
         "distinct_segments": _q_distinct_segments,
+        "media_decode": _q_media_decode,
         "conformance_vectors": _q_conformance_vectors,
         "poly_join": _q_poly_join,
         "sessionize": _q_sessionize,
@@ -1160,6 +1229,23 @@ def oracle_sql() -> dict[str, str]:
                     pow(sin(radians(n.qy - n.lat)/2.0), 2)
                     + cos(radians(n.lat))*cos(radians(n.qy))
                       *pow(sin(radians(n.qx - n.lon)/2.0), 2)))) < 300000.0""",
+        "media_decode": """
+            WITH h AS (
+              SELECT doc_id AS media_id,
+                     md5_number_lower(repeat(md5(CAST(doc_id AS VARCHAR)), 8)) AS h
+              FROM documents),
+            dec AS (
+              SELECT media_id,
+                     CAST(64 + (h & 1023) AS DOUBLE) AS w,
+                     CAST(64 + ((h >> 10) & 1023) AS DOUBLE) AS ht,
+                     CAST((h >> 20) & 255 AS DOUBLE)/255.0 AS mean_luma
+              FROM h)
+            SELECT media_id,
+                   CAST(floor(w * LEAST(1.0, 256.0/GREATEST(w, ht))) AS INT) AS width,
+                   CAST(floor(ht * LEAST(1.0, 256.0/GREATEST(w, ht))) AS INT) AS height,
+                   CAST(3 AS INT) AS n_channels,
+                   mean_luma
+            FROM dec""",
         "conformance_vectors": conformance_sql(),
         "poly_join": f"""{geo_pages},
             boxes AS (

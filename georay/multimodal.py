@@ -47,6 +47,14 @@ def _stable_u64(payload: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
 
 
+def _stable_u64_md5(payload: bytes) -> int:
+    """DuckDB-mirrorable payload hash: md5_number_lower of the payload's
+    lowercase hex encoding (DuckDB's md5 functions are VARCHAR-only, and
+    hex(digest*8) == hex(digest)*8, so the oracle reconstructs the exact
+    same string without blob functions)."""
+    return int.from_bytes(hashlib.md5(payload.hex().encode()).digest()[8:16], "little")
+
+
 class ImageDecodeStage:
     """Actor-pool stage: binary payload -> (dims, stats, feature vector).
 
@@ -55,9 +63,10 @@ class ImageDecodeStage:
     a payload digest so the pipeline is testable end-to-end.
     """
 
-    def __init__(self, fake: bool = True, feature_dim: int = 8):
+    def __init__(self, fake: bool = True, feature_dim: int = 8, hash_impl: str = "blake2b"):
         self.fake = fake
         self.feature_dim = int(feature_dim)
+        self.hash_impl = hash_impl
         if not fake:
             raise NotImplementedError(
                 "No image codec available in this environment; "
@@ -65,7 +74,7 @@ class ImageDecodeStage:
             )
 
     def _decode_fake(self, payload: bytes):
-        h = _stable_u64(payload)
+        h = _stable_u64_md5(payload) if self.hash_impl == "md5" else _stable_u64(payload)
         w = 64 + (h & 0x3FF)
         ht = 64 + ((h >> 10) & 0x3FF)
         rng = np.random.default_rng(h & 0xFFFFFFFF)
@@ -179,13 +188,18 @@ class AudioFeatureStage:
         )
 
 
-def synth_media_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+def synth_media_batch(batch: pa.Table, id_col: str = "doc_id",
+                      hash_impl: str = "blake2b") -> pa.Table:
     """Deterministic fake media table derived from any id column (for
-    tests/benches: payload bytes are a digest-expanded blob)."""
+    tests/benches: payload bytes are a digest-expanded blob).  The
+    ``md5`` variant is oracle-mirrorable: payload = md5(str(id)) * 8."""
     ids = batch.column(id_col).to_numpy()
-    payloads = [
-        hashlib.blake2b(str(int(i)).encode(), digest_size=32).digest() * 8 for i in ids
-    ]
+    if hash_impl == "md5":
+        payloads = [hashlib.md5(str(int(i)).encode()).digest() * 8 for i in ids]
+    else:
+        payloads = [
+            hashlib.blake2b(str(int(i)).encode(), digest_size=32).digest() * 8 for i in ids
+        ]
     return pa.table(
         {
             "media_id": pa.array(ids.astype(np.int64), pa.int64()),

@@ -91,9 +91,18 @@ def resumable_run(
             shutil.rmtree(pdir)
         os.makedirs(os.path.join(pdir, "data"))
         t0 = time.perf_counter()
-        ds = build_pipeline(files).materialize()
-        rows_out = ds.count()
-        ds.write_parquet(os.path.join(pdir, "data"))
+        # stream straight to parquet (backpressure intact — no
+        # materialize-then-write double pass); the row count comes from
+        # the written file footers, which are metadata-only reads
+        data_dir = os.path.join(pdir, "data")
+        build_pipeline(files).write_parquet(data_dir)
+        import pyarrow.parquet as pq
+
+        rows_out = sum(
+            pq.ParquetFile(os.path.join(data_dir, f)).metadata.num_rows
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
         lineage = {
             "partition": name,
             "inputs": files,
