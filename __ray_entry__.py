@@ -253,10 +253,20 @@ def _q_top_customers(sf_dir: str):
         c = np.round(b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
         return pa.table({"o_custkey": b.column("o_custkey"), "price_c": pa.array(c)})
 
+    def combine(b: pa.Table) -> pa.Table:
+        # in-block combiner: the groupby shuffle moves one row per
+        # (block, custkey) instead of one per order
+        return (
+            b.group_by("o_custkey")
+            .aggregate([("price_c", "sum"), ("price_c", "count")])
+            .rename_columns(["o_custkey", "total_cents", "n_orders"])
+        )
+
     per_cust = (
         orders.map_batches(to_cents, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
         .groupby("o_custkey")
-        .aggregate(Sum("price_c", alias_name="total_cents"), Count(alias_name="n_orders"))
+        .aggregate(Sum("total_cents", alias_name="total_cents"), Sum("n_orders", alias_name="n_orders"))
     )
     # broadcast the small customer table into the batch transform (no shuffle join)
     import pyarrow.parquet as pq
@@ -765,10 +775,13 @@ def _q_segment_revenue(sf_dir: str):
         c = np.round(b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
         return pa.table({"o_custkey": b.column("o_custkey"), "price_c": pa.array(c)})
 
-    # join partitions sized to the cluster, not a constant (starves a real
-    # cluster otherwise); the segment rollup is 5 groups -> pre-combined
-    # pyarrow group_by tree, no sort shuffle
-    n_part = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    # join partitions sized to the work, capped by the cluster: one
+    # partition per ~2 input blocks up to the CPU count (a fixed constant
+    # starves a big cluster; CPU-count partitions over tiny inputs just
+    # pay actor spin-up)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    n_blocks = max(1, len(orders.input_files()))
+    n_part = max(4, min(cpus, n_blocks * 4))
     joined = orders.map_batches(to_cents, batch_format="pyarrow").join(
         cust, join_type="inner", num_partitions=n_part, on=("o_custkey",), right_on=("c_custkey",)
     )

@@ -547,33 +547,42 @@ def hyperplane_keys(vecs: np.ndarray, n_planes: int = 16, seed: int = 11) -> np.
 
 def embed_lsh_pairs(ds, vectors_ref=None, threshold: float = 0.9, n_tables: int = 8,
                     n_planes: int = 12, vec_col: str = "embedding", id_col: str = "vec_id",
-                    mode: str = "groupby", num_partitions: int = 8, max_bucket: int = 512):
-    """Distributed LSH-bucketed near-dup pipeline (the scale path):
+                    mode: str = "bucket", num_partitions: int = 8, max_bucket: int = 512):
+    """Distributed LSH-bucketed near-dup pipeline (the scale path).
 
-    1. map_batches: ``n_tables`` independent hyperplane keys per vector ->
-       exploded (band, key, id) rows (band = table index; only 12 bytes
-       per (vector, table) ever shuffles);
-    2. :func:`band_bucket_pairs` (default mode="groupby" — bucket count is
-       bounded by ``2^planes × tables``, so per-group dispatch is cheap
-       and NO single-task merge appears in the DAG) -> candidate pairs;
-    3. verification: hash-join the candidate pairs back against the
-       vector dataset (both sides), then exact cosine >= threshold.  The
-       corpus is never broadcast — only candidate rows and their two
-       vectors move.
+    mode="bucket" (default) — BUCKET-LOCAL verification: the packed
+    vector rides the (band, key) groupby, each bucket verifies its own
+    pairs with exact cosine, and only VERIFIED pairs leave the bucket
+    (near-dup workloads emit orders of magnitude fewer verified pairs
+    than candidates, so nothing quadratic ever shuffles).  The exchange
+    cost is ``n_tables`` copies of the vector table through one sort
+    shuffle; bucket count is bounded by ``2^planes × tables`` so the
+    per-group dispatch is cheap.  No single-task merge, no broadcast.
+
+    mode="join" — candidate pairs from :func:`band_bucket_pairs` are
+    hash-joined back against the vector dataset and verified
+    (:func:`cosine_verify_pairs`); the right shape when candidates are
+    rare but buckets would not fit a group task.
 
     ``vectors_ref`` is accepted for backward compatibility and ignored
-    (verification no longer needs a broadcast matrix).
+    (verification never needs a broadcast matrix).
 
     Recall < 1 by construction (tested against the brute kernel);
     precision = 1 because of the exact verification step.
     """
 
+    carry_vec = mode == "bucket"
+
     def keys_batch(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
-                 "doc_id": pa.array([], pa.int64())}
-            )
+            out = {
+                "band": pa.array([], pa.int32()),
+                "key": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+            if carry_vec:
+                out["vec_bin"] = pa.array([], pa.binary())
+            return pa.table(out)
         col = batch.column(vec_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -582,26 +591,66 @@ def embed_lsh_pairs(ds, vectors_ref=None, threshold: float = 0.9, n_tables: int 
         ids = batch.column(id_col).to_numpy()
         bands = []
         keys = []
-        out_ids = []
         for t in range(n_tables):
             k = hyperplane_keys(vecs, n_planes=n_planes, seed=11 + t)
             bands.append(np.full(len(ids), t, dtype=np.int32))
             keys.append(k.astype(np.int64))
-            out_ids.append(ids)
-        return pa.table(
-            {
-                "band": pa.array(np.concatenate(bands), pa.int32()),
-                "key": pa.array(np.concatenate(keys), pa.int64()),
-                "doc_id": pa.array(np.concatenate(out_ids)),
-            }
+        out = {
+            "band": pa.array(np.concatenate(bands), pa.int32()),
+            "key": pa.array(np.concatenate(keys), pa.int64()),
+            "doc_id": pa.array(np.tile(ids, n_tables)),
+        }
+        if carry_vec:
+            width = vecs.shape[1] * 8
+            buf = pa.py_buffer(np.ascontiguousarray(vecs).tobytes())
+            vb = pa.FixedSizeBinaryArray.from_buffers(pa.binary(width), len(vecs), [None, buf])
+            out["vec_bin"] = pa.chunked_array([vb] * n_tables).combine_chunks().cast(pa.binary())
+        return pa.table(out)
+
+    banded = ds.map_batches(keys_batch, batch_format="pyarrow")
+
+    if mode == "join":
+        cand = band_bucket_pairs(banded, mode="groupby", max_bucket=max_bucket)
+        return cosine_verify_pairs(
+            cand, ds, threshold, vec_col=vec_col, id_col=id_col, num_partitions=num_partitions
         )
 
-    cand = band_bucket_pairs(
-        ds.map_batches(keys_batch, batch_format="pyarrow"), mode=mode, max_bucket=max_bucket
+    def verify_bucket(g):
+        import pandas as pd
+
+        ids = g["doc_id"].to_numpy()
+        uniq, first_idx = np.unique(ids, return_index=True)
+        if len(uniq) > max_bucket:  # pathological all-identical shard guard
+            uniq = uniq[:max_bucket]
+            first_idx = first_idx[:max_bucket]
+        if len(uniq) < 2:
+            return pd.DataFrame({"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64)})
+        raw = b"".join(g["vec_bin"].iloc[i] for i in first_idx)
+        vecs = np.frombuffer(raw, np.float64).reshape(len(uniq), -1)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        sim = unit @ unit.T
+        ia, ib = np.nonzero(np.triu(sim >= threshold, k=1))
+        return pd.DataFrame({"doc_a": uniq[ia].astype(np.int64), "doc_b": uniq[ib].astype(np.int64)})
+
+    pairs = banded.groupby(["band", "key"]).map_groups(verify_bucket, batch_format="pandas")
+
+    def _typed_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+            )
+        return pa.table({"vec_a": b.column("doc_a"), "vec_b": b.column("doc_b")})
+
+    from ray.data.aggregate import Count as _Count
+
+    distinct = (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(_Count(alias_name="n"))
+        .map_batches(_typed_pairs, batch_format="pyarrow")
     )
-    return cosine_verify_pairs(
-        cand, ds, threshold, vec_col=vec_col, id_col=id_col, num_partitions=num_partitions
-    )
+    return distinct
 
 
 def _list_to_matrix(col) -> np.ndarray:
