@@ -2,10 +2,15 @@
 
 The reference has no streaming operators (SURVEY.md §2.9); these are the
 engine-level windowed operators the driver mandate names as custom-op
-examples (windowed aggregate, as-of join).  Both follow the documented
-partitioning assumption: rows are hash-partitioned by ``user_id``
-(`groupby(...).map_groups`), so each group's window logic is local and
-vectorized; no ordering assumptions cross partition boundaries.
+examples (windowed aggregate, as-of join).
+
+Partitioning design: rows are hash-partitioned on ``user_id`` into a
+CLUSTER-SIZED number of partitions (``part = hash(user_id) % P``) and
+each partition is processed by ONE vectorized multi-user kernel.  This
+replaces per-user ``map_groups`` dispatch (~0.5 ms per group — millions
+of users would serialize on dispatch) with P group tasks whose inner
+work is numpy over the whole partition; window logic never crosses a
+partition boundary because a user's rows always hash together.
 """
 
 from __future__ import annotations
@@ -15,20 +20,47 @@ import pandas as pd
 
 GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
 
+#: splitmix-style mixer for the partition hash (plain modulo on dense
+#: int user ids would correlate with any round-robin data layout)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
 
-def sessionize_group(g: pd.DataFrame, gap_us: int = GAP_US) -> pd.DataFrame:
-    """One user's events -> session rows (user_id, session_idx, n_events,
-    t_start, t_end).  Session boundary: gap > ``gap_us`` between
-    consecutive events ordered by (ts, event_id)."""
-    g = g.sort_values(["ts", "event_id"], kind="stable")
+
+def _partition_of(user_id: np.ndarray, num_partitions: int) -> np.ndarray:
+    h = user_id.astype(np.uint64) * _MIX
+    h ^= h >> np.uint64(29)
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
+def sessionize_partition(g: pd.DataFrame, gap_us: int = GAP_US) -> pd.DataFrame:
+    """ALL users of one hash partition -> session rows (user_id,
+    session_idx, n_events, t_start, t_end), fully vectorized: one sort by
+    (user_id, ts, event_id), boundary mask (user change OR gap), cumsum
+    rebased per user."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    user = g["user_id"].to_numpy()
     ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-    new_sess = np.ones(len(g), dtype=np.int64)
-    if len(ts) > 1:
-        new_sess[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-    session_idx = np.cumsum(new_sess)
+    n = len(g)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "user_id": np.empty(0, np.int64),
+                "session_idx": np.empty(0, np.int64),
+                "n_events": np.empty(0, np.int64),
+                "t_start": np.empty(0, "datetime64[us]"),
+                "t_end": np.empty(0, "datetime64[us]"),
+            }
+        )
+    new_sess = np.ones(n, dtype=np.int64)
+    same_user = user[1:] == user[:-1]
+    new_sess[1:] = (~same_user) | (np.diff(ts) > gap_us)
+    sidx_global = np.cumsum(new_sess)
+    user_start = np.ones(n, dtype=bool)
+    user_start[1:] = ~same_user
+    base = sidx_global[user_start]
+    session_idx = sidx_global - np.repeat(base, np.diff(np.append(np.nonzero(user_start)[0], n))) + 1
     out = pd.DataFrame(
         {
-            "user_id": g["user_id"].to_numpy(),
+            "user_id": user,
             "session_idx": session_idx,
             "ts": g["ts"].to_numpy(),
         }
@@ -39,28 +71,75 @@ def sessionize_group(g: pd.DataFrame, gap_us: int = GAP_US) -> pd.DataFrame:
     return agg.reset_index()
 
 
-def asof_purchase_group(g: pd.DataFrame) -> pd.DataFrame:
-    """As-of join within one user: for every event, the timestamp of the
-    most recent STRICTLY-earlier 'purchase' event (NaT when none).
-    Strict inequality keeps the result independent of peer ordering at
-    equal timestamps (deterministic vs the SQL oracle)."""
-    g = g.sort_values(["ts", "event_id"], kind="stable")
-    ts = g["ts"].to_numpy().astype("datetime64[us]")
-    purch_ts = np.sort(g.loc[g["event_type"] == "purchase", "ts"].to_numpy().astype("datetime64[us]"))
-    idx = np.searchsorted(purch_ts, ts, side="left") - 1
-    last = np.full(len(g), np.datetime64("NaT", "us"))
-    has = idx >= 0
-    last[has] = purch_ts[idx[has]]
-    return pd.DataFrame({"event_id": g["event_id"].to_numpy(), "last_purchase": last})
+def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """ALL users of one hash partition -> (event_id, last_purchase): the
+    most recent STRICTLY-earlier 'purchase' per event.  Fully vectorized
+    via composite (user_rank, ts_rank) keys: one searchsorted against the
+    sorted purchase key array counts each row's strictly-earlier
+    same-user purchases (strictness is exact — equal timestamps differ in
+    key), then a gather fetches that purchase's timestamp."""
+    n = len(g)
+    if n == 0:
+        return pd.DataFrame(
+            {"event_id": np.empty(0, np.int64), "last_purchase": np.empty(0, "datetime64[us]")}
+        )
+    user = g["user_id"].to_numpy()
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev_id = g["event_id"].to_numpy()
+    is_p = (g["event_type"] == "purchase").to_numpy()
+
+    uniq_u, user_rank = np.unique(user, return_inverse=True)
+    uniq_t, ts_rank = np.unique(ts, return_inverse=True)
+    K = np.int64(len(uniq_t) + 1)
+    keys = user_rank.astype(np.int64) * K + ts_rank.astype(np.int64)
+
+    p_keys = np.sort(keys[is_p])
+    p_order = np.argsort(keys[is_p], kind="stable")
+    p_ts = ts[is_p][p_order]
+    # per-user purchase segment starts: first purchase key of each user
+    p_user = p_keys // K
+    cnt_before = np.searchsorted(p_keys, keys, side="left")
+    seg_start = np.searchsorted(p_user, user_rank, side="left")
+    cnt_in_user = cnt_before - seg_start
+    last = np.full(n, np.datetime64("NaT", "us"))
+    has = cnt_in_user > 0
+    last[has] = p_ts[cnt_before[has] - 1].astype("datetime64[us]")
+    return pd.DataFrame({"event_id": ev_id, "last_purchase": last})
 
 
-def sessionize(ds, gap_us: int = GAP_US):
+def sessionize(ds, gap_us: int = GAP_US, num_partitions: int = 32):
     """Dataset of events -> per-user-session aggregate rows."""
-    return ds.groupby("user_id").map_groups(
-        lambda g: sessionize_group(g, gap_us), batch_format="pandas"
+    import pyarrow as pa
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "part", pa.array(_partition_of(b.column("user_id").to_numpy(), num_partitions))
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: sessionize_partition(g.drop(columns=["part"]), gap_us),
+            batch_format="pandas",
+        )
     )
 
 
-def asof_purchase(ds):
+def asof_purchase(ds, num_partitions: int = 32):
     """Dataset of events -> (event_id, last_purchase) as-of join rows."""
-    return ds.groupby("user_id").map_groups(asof_purchase_group, batch_format="pandas")
+    import pyarrow as pa
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "part", pa.array(_partition_of(b.column("user_id").to_numpy(), num_partitions))
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: asof_partition(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )
