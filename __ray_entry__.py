@@ -284,6 +284,14 @@ def _q_top_customers(sf_dir: str):
             return b.append_column("c_name", pa.array(names, pa.string()))
 
     def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # sort aggregates emit schemaless empty partitions
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "total_cents": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
         return b.sort_by(
             [("total_cents", "descending"), ("o_custkey", "ascending")]
         ).slice(0, 10)
@@ -775,8 +783,8 @@ def _q_segment_revenue(sf_dir: str):
         c = np.round(b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
         return pa.table({"o_custkey": b.column("o_custkey"), "price_c": pa.array(c)})
 
-    # join partitions sized to the work, capped by the cluster: one
-    # partition per ~2 input blocks up to the CPU count (a fixed constant
+    # join partitions sized to the work, capped by the cluster: a few
+    # partitions per input file up to the CPU count (a fixed constant
     # starves a big cluster; CPU-count partitions over tiny inputs just
     # pay actor spin-up)
     cpus = int(ray.cluster_resources().get("CPU", 4))

@@ -161,17 +161,20 @@ class IVFSearchActor:
         vecs = _to_matrix(batch.column(self.vec_col))
         ids = batch.column(self.id_col).to_numpy()
         assign = IVFKNN._nearest(vecs, self.centroids)
+        # one batched cosine_topk per DISTINCT probe mask (with full probe
+        # all queries share one mask -> a single matmul), not per query
+        masks, q_groups = np.unique(self.probe_mask, axis=0, return_inverse=True)
         out_q, out_i, out_s = [], [], []
-        for qi in range(len(self.queries)):
-            m = self.probe_mask[qi][assign]
+        for gi in range(len(masks)):
+            m = masks[gi][assign]
             if not m.any():
                 continue
-            top_ids, top_sims = cosine_topk(
-                self.queries[qi : qi + 1], vecs[m], ids[m], self.k
-            )
-            out_q.append(np.full(top_ids.shape[1], self.query_ids[qi], dtype=np.int64))
-            out_i.append(top_ids[0])
-            out_s.append(top_sims[0])
+            q_sel = np.nonzero(q_groups == gi)[0]
+            top_ids, top_sims = cosine_topk(self.queries[q_sel], vecs[m], ids[m], self.k)
+            kk = top_ids.shape[1]
+            out_q.append(np.repeat(self.query_ids[q_sel], kk))
+            out_i.append(top_ids.ravel())
+            out_s.append(top_sims.ravel())
         if not out_q:
             return self._empty()
         return pa.table(

@@ -56,9 +56,12 @@ def segment_reduce(ufunc, values: np.ndarray, offsets: np.ndarray, empty_fill, a
 
 #: two independent 16-byte keys -> a 128-bit combined text key; collision
 #: probability at 10^12 docs is ~(10^12)^2 / 2^129 ≈ 1e-15 — safe for
-#: exact dedup without per-row Python hashing.
-_KEY_A = "georay-dedup-keyA"[:16].ljust(16, "0")
-_KEY_B = "georay-dedup-keyB"[:16].ljust(16, "0")
+#: exact dedup without per-row Python hashing.  (Review finding: a
+#: previous version sliced the distinguishing suffix off at [:16],
+#: silently collapsing both keys to the same 64-bit hash.)
+_KEY_A = "georay-dedupkeyA"
+_KEY_B = "georay-dedupkeyB"
+assert len(_KEY_A) == len(_KEY_B) == 16 and _KEY_A != _KEY_B
 
 
 def text_key_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
@@ -371,6 +374,14 @@ def band_bucket_pairs(
         )
 
         def _as_int(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:  # sort aggregates emit schemaless empty partitions
+                return pa.table(
+                    {
+                        "doc_a": pa.array([], pa.int64()),
+                        "doc_b": pa.array([], pa.int64()),
+                        "truncated": pa.array([], pa.int32()),
+                    }
+                )
             return pa.table(
                 {
                     "doc_a": b.column("doc_a"),
@@ -384,8 +395,16 @@ def band_bucket_pairs(
             .groupby(["doc_a", "doc_b"])
             .aggregate(_Max("truncated", alias_name="truncated"))
         )
-        return distinct.map_batches(
-            lambda b: pa.table(
+        def _as_bool(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "doc_a": pa.array([], pa.int64()),
+                        "doc_b": pa.array([], pa.int64()),
+                        "truncated": pa.array([], pa.bool_()),
+                    }
+                )
+            return pa.table(
                 {
                     "doc_a": b.column("doc_a"),
                     "doc_b": b.column("doc_b"),
@@ -393,9 +412,9 @@ def band_bucket_pairs(
                         pa.compute.greater(b.column("truncated"), 0), pa.bool_()
                     ),
                 }
-            ),
-            batch_format="pyarrow",
-        )
+            )
+
+        return distinct.map_batches(_as_bool, batch_format="pyarrow")
 
     merged = banded_ds.map_batches(
         lambda b: _bucket_list_partial(b, id_col), batch_format="pyarrow", batch_size=None
@@ -621,6 +640,14 @@ def embed_lsh_pairs(ds, vectors_ref=None, threshold: float = 0.9, n_tables: int 
         ids = g["doc_id"].to_numpy()
         uniq, first_idx = np.unique(ids, return_index=True)
         if len(uniq) > max_bucket:  # pathological all-identical shard guard
+            import logging
+
+            logging.getLogger("georay.dedup").warning(
+                "embed LSH bucket truncated: %d unique vectors > max_bucket=%d "
+                "(band=%s key=%s) — verified pairs beyond the cap are dropped; "
+                "raise max_bucket or n_planes if this fires on real data",
+                len(uniq), max_bucket, g["band"].iloc[0], g["key"].iloc[0],
+            )
             uniq = uniq[:max_bucket]
             first_idx = first_idx[:max_bucket]
         if len(uniq) < 2:
@@ -656,6 +683,8 @@ def embed_lsh_pairs(ds, vectors_ref=None, threshold: float = 0.9, n_tables: int 
 def _list_to_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:  # reshape(0, -1) is a numpy error; empty blocks pass through
+        return np.empty((0, 0))
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(len(col), -1)
 

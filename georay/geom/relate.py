@@ -137,6 +137,19 @@ def relate_polygon_polygon(a: Polygon, b: Polygon) -> dict[str, bool]:
     ipa_in_b, ipa_on_b = b.locate(np.array([ip_a[0]]), np.array([ip_a[1]]))
     ipb_in_a, ipb_on_a = a.locate(np.array([ip_b[0]]), np.array([ip_b[1]]))
 
+    def hole_inside(holder: Polygon, other: Polygon) -> bool:
+        # does any hole of ``holder`` poke a hole in ``other``'s claim to
+        # be contained?  A hole ring that crosses ``other`` is caught by
+        # the proper-crossing test (edge arrays include hole edges); the
+        # remaining case is a hole ENTIRELY inside ``other`` — detected by
+        # a hole vertex strictly interior to ``other``
+        for h in holder.holes:
+            if len(h) > 1:
+                inside, _ = other.locate(h[:-1, 0], h[:-1, 1])
+                if bool(inside.any()):
+                    return True
+        return False
+
     interiors = (
         proper_any
         or bool(av_in_b.any())
@@ -155,12 +168,14 @@ def relate_polygon_polygon(a: Polygon, b: Polygon) -> dict[str, bool]:
         and not proper_any
         and bool((bv_in_a | bv_on_a).all())
         and bool(ipb_in_a[0] or ipb_on_a[0])
+        and not hole_inside(a, b)  # an A-hole inside B leaves B ⊄ closure(A)
     )
     within = (
         interiors
         and not proper_any
         and bool((av_in_b | av_on_b).all())
         and bool(ipa_in_b[0] or ipa_on_b[0])
+        and not hole_inside(b, a)
     )
     equals = contains and within
     return {

@@ -210,3 +210,19 @@ class TestConnectedComponents:
         empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
         out = connected_components(ray.data.from_arrow(empty)).to_pandas()
         assert len(out) == 0
+
+
+class TestTextKeyIndependence:
+    def test_two_keys_differ(self):
+        # regression: [:16] slicing once collapsed both hash keys into one,
+        # silently reducing the 128-bit dedup key to 64 bits
+        import pyarrow as pa
+
+        from georay.dedup import text_key_batch
+
+        t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["alpha", "beta"], pa.string())})
+        out = text_key_batch(t)
+        h1 = out.column("h1").to_pylist()
+        h2 = out.column("h2").to_pylist()
+        assert h1 != h2  # independent hash functions

@@ -148,3 +148,19 @@ class TestBoxPolygonVectorized:
             assert rel["within"][i] == want["WITHIN"], i
             assert rel["touches"][i] == want["TOUCHES"], i
             assert rel["overlaps"][i] == want["OVERLAPS"], i
+
+
+class TestHoleCoverage:
+    def test_candidate_covering_hole_is_overlap_not_contains(self):
+        # regression: B fully covers A's hole without any ring crossing;
+        # B's interior includes non-A points, so CONTAINS must be false
+        donut = Polygon(
+            [(0, 0), (20, 0), (20, 20), (0, 20)],
+            holes=[[(4, 4), (6, 4), (6, 6), (4, 6)]],
+        )
+        patch = square(1, 1, 14)
+        r = relate_polygon_polygon(donut, patch)
+        assert not r["CONTAINS"]
+        assert r["OVERLAPS"] and r["INTERSECTS"]
+        r2 = relate_polygon_polygon(patch, donut)
+        assert not r2["WITHIN"]
