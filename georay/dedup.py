@@ -870,21 +870,19 @@ def connected_components(pairs_ds, num_partitions: int = 8, max_iter: int = 16):
 
     def _typed(b: pa.Table) -> pa.Table:
         # Ray's sort-based aggregate emits schemaless EMPTY blocks for
-        # empty partitions, which the downstream hash join rejects —
-        # coerce every block to the declared (node, label) schema
+        # empty partitions — coerce every block to the declared schema
         if b.num_rows == 0:
             return pa.table(
                 {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
             )
         return b.select(["node", "label"])
 
-    labels = (
-        edges.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(_Min("label", alias_name="label"))
-        .map_batches(_typed, batch_format="pyarrow")
-        .materialize()
-    )
+    # labels are a MULTISET of (node, label) rows between rounds: per-node
+    # minimisation happens inside the next round's propagate (and once at
+    # the end), which saves one sort shuffle per round.  Row count per
+    # round is constant (one per edge endpoint + one per node), so the
+    # multiset never grows.
+    labels = edges.map_batches(init_labels, batch_format="pyarrow").materialize()
     def edge_msgs(b: pa.Table) -> pa.Table:
         # edge (u, v) -> message row keyed by v carrying neighbour u
         return pa.table(
@@ -914,24 +912,26 @@ def connected_components(pairs_ds, num_partitions: int = 8, max_iter: int = 16):
         nodes = np.concatenate([nbrs, [key]])
         return pd.DataFrame({"node": nodes.astype(np.int64), "label": np.full(len(nodes), L, np.int64)})
 
-    prev = labels.aggregate(_Sum("label"))["sum(label)"]
+    prev = None  # first round reshapes the multiset; compare like-for-like only
     for _ in range(max_iter):
         msgs = edges.map_batches(edge_msgs, batch_format="pyarrow").union(
             labels.map_batches(label_msgs, batch_format="pyarrow")
         )
         labels = (
-            msgs.groupby("key")
-            .map_groups(propagate, batch_format="pandas")
-            .groupby("node")
-            .aggregate(_Min("label", alias_name="label"))
-            .map_batches(_typed, batch_format="pyarrow")
-            .materialize()
+            msgs.groupby("key").map_groups(propagate, batch_format="pandas").materialize()
         )
+        # monotone non-increasing over the constant-size multiset: equal
+        # sums mean every label is at its fixpoint
         cur = labels.aggregate(_Sum("label"))["sum(label)"]
-        if cur == prev:
+        if prev is not None and cur == prev:
             break
         prev = cur
-    return labels.map_batches(
+    final = (
+        labels.groupby("node")
+        .aggregate(_Min("label", alias_name="label"))
+        .map_batches(_typed, batch_format="pyarrow")
+    )
+    return final.map_batches(
         lambda b: pa.table({"doc_id": b.column("node"), "survivor": b.column("label")}),
         batch_format="pyarrow",
     )
