@@ -390,6 +390,18 @@ def _q_simhash(sf_dir: str):
     ).map_batches(lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow")
 
 
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs: 4x16-bit block-key candidates (hamming<=3
+    implies a shared block — pigeonhole, so recall is exactly 1 and the
+    SQL oracle's any-block-equal + bit_count filter reproduces the exact
+    pair set) verified by hash-joining the simhash table onto the pair
+    stream."""
+    from georay.dedup import simhash_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3, hash_impl="md5")
+
+
 def _minhash_verified_pairs(sf_dir: str):
     from georay.dedup import band_bucket_pairs, jaccard_verify_pairs, minhash_band_batch
 
@@ -908,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_resolve": _q_dedup_resolve,
         "embed_dup_pairs": _q_embed_dup_pairs,
@@ -1051,6 +1064,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT a.doc_id, b.doc_id FROM cnt a, cnt b
             WHERE a.c = 0 AND b.c = 0 AND a.doc_id < b.doc_id"""
+    simhash_ctes = """toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS tok
+              FROM documents),
+            th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+            bits AS (
+              SELECT doc_id, b.bit
+              FROM th, (SELECT unnest(range(64)) AS bit) b
+              GROUP BY doc_id, b.bit
+              HAVING 2*SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE 0 END) > COUNT(*)),
+            packed AS (
+              SELECT doc_id, SUM(1::HUGEINT << bit) AS uval FROM bits GROUP BY doc_id)"""
+    simhash_final = """
+            SELECT d.doc_id,
+                   CAST(CASE WHEN p.uval IS NULL THEN 0
+                             WHEN p.uval >= 9223372036854775808 THEN p.uval - 18446744073709551616
+                             ELSE p.uval END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN packed p USING (doc_id)"""
     return {
         "token_stats": f"""
             SELECT doc_id, n_chars, n_tokens, n_bpe, n_punct, n_stop,
@@ -1081,24 +1112,26 @@ def oracle_sql() -> dict[str, str]:
                  WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
                  {_langid_case_sql()} END AS lang_pred
             FROM scored""",
-        "simhash": """
-            WITH toks AS (
+        "simhash": f"WITH {simhash_ctes}{simhash_final}",
+        "simhash_pairs": f"""
+            WITH {simhash_ctes},
+            sb AS (
+              SELECT d.doc_id,
+                     CASE WHEN p.uval IS NULL THEN 0 ELSE p.uval END AS u
+              FROM documents d LEFT JOIN packed p USING (doc_id)),
+            s AS (
               SELECT doc_id,
-                     unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS tok
-              FROM documents),
-            th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
-            bits AS (
-              SELECT doc_id, b.bit
-              FROM th, (SELECT unnest(range(64)) AS bit) b
-              GROUP BY doc_id, b.bit
-              HAVING 2*SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE 0 END) > COUNT(*)),
-            packed AS (
-              SELECT doc_id, SUM(1::HUGEINT << bit) AS uval FROM bits GROUP BY doc_id)
-            SELECT d.doc_id,
-                   CAST(CASE WHEN p.uval IS NULL THEN 0
-                             WHEN p.uval >= 9223372036854775808 THEN p.uval - 18446744073709551616
-                             ELSE p.uval END AS BIGINT) AS simhash
-            FROM documents d LEFT JOIN packed p USING (doc_id)""",
+                     CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+                               ELSE u END AS BIGINT) AS sh,
+                     CAST((u >> 0) & 65535 AS BIGINT) AS b0,
+                     CAST((u >> 16) & 65535 AS BIGINT) AS b1,
+                     CAST((u >> 32) & 65535 AS BIGINT) AS b2,
+                     CAST((u >> 48) & 65535 AS BIGINT) AS b3
+              FROM sb)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+             AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
         "fingerprint": """
             WITH base AS (
               SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk

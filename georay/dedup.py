@@ -549,6 +549,75 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
 
+def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 512,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  hash_impl: str = "fast", num_partitions: int = 8):
+    """SimHash near-dup PAIRS (Manku et al. 2007 multi-index): docs
+    sharing any of the four 16-bit blocks are candidates (hamming <= 3
+    implies at least one identical block — the pigeonhole guarantee), and
+    candidates are verified by exact hamming distance after hash-joining
+    the (doc_id, simhash) table back onto the pair stream.  Only 8-byte
+    hashes ever shuffle; the candidate tree merge is the same bounded
+    structure as the MinHash path."""
+    sims = ds.map_batches(
+        lambda b: simhash_batch(b, text_col=text_col, id_col=id_col, hash_impl=hash_impl),
+        batch_format="pyarrow",
+    )
+    sims_slim = sims.map_batches(
+        lambda b: b.select([id_col, "simhash"]), batch_format="pyarrow"
+    ).materialize()
+
+    def banded(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy()
+        out_band, out_key, out_id = [], [], []
+        for blk in range(4):
+            out_band.append(np.full(len(ids), blk, dtype=np.int32))
+            out_key.append(b.column(f"blk{blk}").to_numpy().astype(np.int64))
+            out_id.append(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(out_band), pa.int32()),
+                "key": pa.array(np.concatenate(out_key), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_id)),
+            }
+        )
+
+    cand = band_bucket_pairs(sims.map_batches(banded, batch_format="pyarrow"),
+                             max_bucket=max_bucket)
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    cand = cand.materialize()
+    if cand.count() == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(empty)
+    j1 = cand.join(
+        sims_slim, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=(id_col,),
+    ).map_batches(
+        lambda b: b.rename_columns(["sim_a" if c == "simhash" else c for c in b.column_names]),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        sims_slim, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=(id_col,),
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        d = hamming64(b.column("sim_a").to_numpy(), b.column("simhash").to_numpy())
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "doc_a": b.column("doc_a").filter(pa.array(keep)),
+                "doc_b": b.column("doc_b").filter(pa.array(keep)),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
