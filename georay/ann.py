@@ -145,6 +145,10 @@ class IVFSearchActor:
         self.probe_mask = np.zeros((len(self.queries), n_lists), dtype=bool)
         rows = np.repeat(np.arange(len(self.queries)), nprobe)
         self.probe_mask[rows, probe.ravel()] = True
+        # group queries by DISTINCT probe mask ONCE (per-batch work below
+        # is one cosine_topk call per group, a single matmul at full probe)
+        self._masks, q_groups = np.unique(self.probe_mask, axis=0, return_inverse=True)
+        self._q_sel = [np.nonzero(q_groups == gi)[0] for gi in range(len(self._masks))]
 
     def _empty(self) -> pa.Table:
         return pa.table(
@@ -161,15 +165,12 @@ class IVFSearchActor:
         vecs = _to_matrix(batch.column(self.vec_col))
         ids = batch.column(self.id_col).to_numpy()
         assign = IVFKNN._nearest(vecs, self.centroids)
-        # one batched cosine_topk per DISTINCT probe mask (with full probe
-        # all queries share one mask -> a single matmul), not per query
-        masks, q_groups = np.unique(self.probe_mask, axis=0, return_inverse=True)
         out_q, out_i, out_s = [], [], []
-        for gi in range(len(masks)):
-            m = masks[gi][assign]
+        for gi in range(len(self._masks)):
+            m = self._masks[gi][assign]
             if not m.any():
                 continue
-            q_sel = np.nonzero(q_groups == gi)[0]
+            q_sel = self._q_sel[gi]
             top_ids, top_sims = cosine_topk(self.queries[q_sel], vecs[m], ids[m], self.k)
             kk = top_ids.shape[1]
             out_q.append(np.repeat(self.query_ids[q_sel], kk))

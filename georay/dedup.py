@@ -559,20 +559,22 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 512,
     the (doc_id, simhash) table back onto the pair stream.  Only 8-byte
     hashes ever shuffle; the candidate tree merge is the same bounded
     structure as the MinHash path."""
-    sims = ds.map_batches(
-        lambda b: simhash_batch(b, text_col=text_col, id_col=id_col, hash_impl=hash_impl),
+    # one simhash pass over the corpus; blocks are re-derived from the
+    # 64-bit hash by shifting (the banded branch must not re-run the
+    # dominant token-hashing upstream)
+    sims_slim = ds.map_batches(
+        lambda b: simhash_batch(b, text_col=text_col, id_col=id_col, hash_impl=hash_impl)
+        .select([id_col, "simhash"]),
         batch_format="pyarrow",
-    )
-    sims_slim = sims.map_batches(
-        lambda b: b.select([id_col, "simhash"]), batch_format="pyarrow"
     ).materialize()
 
     def banded(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy()
+        u = b.column("simhash").to_numpy().astype(np.uint64)
         out_band, out_key, out_id = [], [], []
         for blk in range(4):
             out_band.append(np.full(len(ids), blk, dtype=np.int32))
-            out_key.append(b.column(f"blk{blk}").to_numpy().astype(np.int64))
+            out_key.append(((u >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64))
             out_id.append(ids)
         return pa.table(
             {
@@ -582,7 +584,7 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 512,
             }
         )
 
-    cand = band_bucket_pairs(sims.map_batches(banded, batch_format="pyarrow"),
+    cand = band_bucket_pairs(sims_slim.map_batches(banded, batch_format="pyarrow"),
                              max_bucket=max_bucket)
 
     empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
@@ -591,6 +593,19 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 512,
         import ray.data as _rd
 
         return _rd.from_arrow(empty)
+    trunc = cand.map_batches(
+        lambda b: pa.table({"t": b.column("truncated").cast(pa.int32())}),
+        batch_format="pyarrow",
+    ).sum("t")
+    if trunc:
+        import logging
+
+        logging.getLogger("georay.dedup").warning(
+            "simhash block bucket(s) truncated at max_bucket=%d — pairs beyond "
+            "the cap are dropped, so the pigeonhole recall-1 guarantee does NOT "
+            "hold for this run; raise max_bucket for exact results",
+            max_bucket,
+        )
     j1 = cand.join(
         sims_slim, join_type="inner", num_partitions=num_partitions,
         on=("doc_a",), right_on=(id_col,),

@@ -141,11 +141,16 @@ def relate_polygon_polygon(a: Polygon, b: Polygon) -> dict[str, bool]:
         # does any hole of ``holder`` poke a hole in ``other``'s claim to
         # be contained?  A hole ring that crosses ``other`` is caught by
         # the proper-crossing test (edge arrays include hole edges); the
-        # remaining case is a hole ENTIRELY inside ``other`` — detected by
-        # a hole vertex strictly interior to ``other``
+        # remaining case is a hole whose INTERIOR lies inside ``other`` —
+        # detected by a hole vertex, edge midpoint, or interior-probe
+        # point strictly interior to ``other`` (vertices alone miss holes
+        # whose every vertex sits exactly ON the other's boundary)
         for h in holder.holes:
             if len(h) > 1:
-                inside, _ = other.locate(h[:-1, 0], h[:-1, 1])
+                ring = h[:-1]
+                mids = (h[:-1] + h[1:]) / 2.0
+                probes = np.vstack([ring, mids, interior_point(Polygon(h))])
+                inside, _ = other.locate(probes[:, 0], probes[:, 1])
                 if bool(inside.any()):
                     return True
         return False
