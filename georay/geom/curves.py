@@ -104,6 +104,26 @@ def curve_coordinate_list(geom: dict, epsg: int | None = None, latlon: bool | No
     raise ValueError(f"Unsupported curve kind: {kind}")
 
 
+def _any_proper_crossing(rings: list[np.ndarray]) -> bool:
+    """Do any two patch rings cross transversally (overlapping patches,
+    not merely edge-adjacent)?"""
+    from georay.geom.relate import segments_cross_kinds
+
+    closed = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        if len(r) and not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[0]])
+        closed.append(r)
+    for i in range(len(closed)):
+        for j in range(i + 1, len(closed)):
+            a, b = closed[i], closed[j]
+            proper, _ = segments_cross_kinds(a[:-1], a[1:], b[:-1], b[1:])
+            if bool(proper.any()):
+                return True
+    return False
+
+
 def _patch_exterior(patch: dict, epsg) -> np.ndarray:
     return curve_coordinate_list(patch["exterior"], patch.get("epsg", epsg))
 
@@ -119,15 +139,24 @@ def merge_patch_rings(rings: list[np.ndarray]) -> np.ndarray:
     """C-11: exterior boundary of a patch union.
 
     The reference unions patch polygons with JTS
-    (SurfaceCoordinateListFactory.java:196-197); here the union is computed
-    by shared-edge cancellation — adjacent patches in a valid gml:Surface
-    share complete edges, so edges appearing twice (in either direction)
-    are interior and the survivors stitch into the outer ring.  This is
-    exact for edge-adjacent patch complexes (the conformance corpus) and
-    documented as the engine's partitioning assumption for surfaces.
+    (SurfaceCoordinateListFactory.java:196-197); here the union is
+    computed by shared-edge cancellation — adjacent patches in a valid
+    gml:Surface share complete edges, so edges appearing twice (in either
+    direction) are interior and the survivors stitch into the outer ring.
+    This is exact for edge-adjacent patch complexes (the conformance
+    corpus).  Patches whose boundaries CROSS transversally fall back to a
+    pairwise Greiner-Hormann union walk (georay.geom.union); mixed
+    adjacency+overlap complexes raise rather than emit a wrong boundary.
     """
     if not rings:
         raise ValueError("Surface has no patches (empty exterior)")
+    if len(rings) > 1 and _any_proper_crossing(rings):
+        from georay.geom.union import union_overlapping_rings
+
+        acc = rings[0]
+        for r in rings[1:]:
+            acc = union_overlapping_rings(acc, r)
+        return acc
     if len(rings) == 1:
         r = rings[0]
         if not np.array_equal(r[0], r[-1]):

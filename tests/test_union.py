@@ -1,0 +1,93 @@
+"""Overlapping surface-patch union (SurfaceCoordinateListFactory.java:196-197
+unions patch polygons via JTS; georay covers edge-adjacent complexes by
+shared-edge cancellation and transversal overlaps by a Greiner-Hormann
+union walk)."""
+
+import numpy as np
+import pytest
+
+from georay.geom.curves import merge_patch_rings, surface_exterior_boundary
+from georay.geom.union import _signed_area, union_overlapping_rings
+
+SQ_A = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)
+SQ_B = np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], float)
+
+
+class TestUnionWalk:
+    def test_overlapping_squares_exact_ring(self):
+        u = union_overlapping_rings(SQ_A, SQ_B)
+        want = np.array(
+            [[0, 0], [2, 0], [2, 1], [3, 1], [3, 3], [1, 3], [1, 2], [0, 2], [0, 0]],
+            float,
+        )
+        np.testing.assert_allclose(u, want)
+        assert _signed_area(u) == pytest.approx(7.0)
+
+    def test_orientation_invariant(self):
+        u = union_overlapping_rings(SQ_A[::-1], SQ_B)  # CW input normalized
+        assert _signed_area(u) == pytest.approx(7.0)
+
+    def test_argument_order_same_area(self):
+        u1 = union_overlapping_rings(SQ_A, SQ_B)
+        u2 = union_overlapping_rings(SQ_B, SQ_A)
+        assert _signed_area(u1) == pytest.approx(_signed_area(u2))
+
+    def test_containment_returns_outer(self):
+        inner = np.array([[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5], [0.5, 0.5]], float)
+        u = union_overlapping_rings(SQ_A, inner)
+        assert _signed_area(u) == pytest.approx(4.0)
+        u2 = union_overlapping_rings(inner, SQ_A)
+        assert _signed_area(u2) == pytest.approx(4.0)
+
+    def test_disjoint_raises(self):
+        far = SQ_A + 10.0
+        with pytest.raises(ValueError):
+            union_overlapping_rings(SQ_A, far)
+
+    def test_triangle_square_area_identity(self):
+        # area(union) == area(A) + area(T) - area(A ∩ T), overlap computed
+        # by hand: T clipped to the square
+        tri = np.array([[1.5, -1.0], [3.5, 1.0], [1.5, 1.5], [1.5, -1.0]], float)
+        u = union_overlapping_rings(SQ_A, tri)
+        a_sq = 4.0
+        a_tri = abs(_signed_area(tri))
+        assert _signed_area(u) < a_sq + a_tri  # strict: overlap removed once
+        assert _signed_area(u) > max(a_sq, a_tri)
+
+    def test_tangential_contact_raises(self):
+        # B's corner exactly on A's edge: degenerate for the walk
+        b = np.array([[2, 1], [4, 0], [4, 2], [2, 1]], float)
+        with pytest.raises(ValueError):
+            union_overlapping_rings(SQ_A, b)
+
+
+class TestOverlappingSurfacePatches:
+    def test_surface_with_crossing_patches(self):
+        surf = {
+            "kind": "Surface",
+            "epsg": 32610,
+            "patches": [
+                {
+                    "patch": "Polygon",
+                    "exterior": {"kind": "LinearRing",
+                                 "coords": [[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]},
+                },
+                {
+                    "patch": "Polygon",
+                    "exterior": {"kind": "LinearRing",
+                                 "coords": [[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]]},
+                },
+            ],
+        }
+        out = surface_exterior_boundary(surf)
+        assert len(out) == 9
+        assert _signed_area(out) == pytest.approx(7.0)
+
+    def test_adjacent_patches_still_use_cancellation(self):
+        # the existing two-patch fixture path must be untouched
+        rings = [
+            np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float),
+            np.array([[1, 0], [2, 0], [2, 1], [1, 1], [1, 0]], float),
+        ]
+        out = merge_patch_rings(rings)
+        assert len(out) == 7  # 6 distinct corners + closure
