@@ -64,6 +64,14 @@ def _segment_coords(seg: dict, epsg: int, latlon: bool | None = None) -> np.ndar
             epsg,
             latlon=latlon,
         )
+    from georay import registry
+
+    if t in registry.SEGMENT_KERNELS:  # user-extension point (SURVEY §2.10)
+        out = registry._coerce_coords(registry.SEGMENT_KERNELS[t](seg, epsg, latlon))
+        need = MIN_SEGMENT_POSITIONS.get(t, 0)
+        if len(out) < need:
+            raise ValueError(f"{t} segment requires >= {need} positions, got {len(out)}")
+        return out
     coords = np.asarray(seg["coords"], dtype=np.float64).reshape(-1, 2)
     need = MIN_SEGMENT_POSITIONS.get(t)
     if need is None:
@@ -101,6 +109,10 @@ def curve_coordinate_list(geom: dict, epsg: int | None = None, latlon: bool | No
     if kind == "Ring":
         parts = [curve_coordinate_list(m, epsg, latlon) for m in geom["members"]]
         return np.concatenate(parts) if parts else np.empty((0, 2))
+    from georay import registry
+
+    if kind in registry.CURVE_KIND_KERNELS:  # user-extension point (SURVEY §2.10)
+        return registry._coerce_coords(registry.CURVE_KIND_KERNELS[kind](geom, epsg, latlon))
     raise ValueError(f"Unsupported curve kind: {kind}")
 
 
@@ -125,6 +137,11 @@ def _any_proper_crossing(rings: list[np.ndarray]) -> bool:
 
 
 def _patch_exterior(patch: dict, epsg) -> np.ndarray:
+    from georay import registry
+
+    k = patch.get("patch")
+    if k in registry.PATCH_KERNELS:  # user-extension point (SURVEY §2.10)
+        return registry._coerce_coords(registry.PATCH_KERNELS[k](patch, epsg))
     return curve_coordinate_list(patch["exterior"], patch.get("epsg", epsg))
 
 
