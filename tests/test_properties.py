@@ -1,6 +1,7 @@
 """Property-based invariants (hypothesis) over the core kernels."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from georay import cells
@@ -172,3 +173,82 @@ class TestEnvelopeAlgebra:
         allpts = np.vstack([a, b])
         assert m1[0] <= allpts[:, 0].min() and m1[2] >= allpts[:, 0].max()
         assert m1[1] <= allpts[:, 1].min() and m1[3] >= allpts[:, 1].max()
+
+
+class TestVectorizedKernelsMatchNaive:
+    """The round-2 vectorized shingle/winnow rewrites must agree with a
+    straightforward per-document implementation on arbitrary inputs."""
+
+    @given(
+        st.lists(
+            st.text(alphabet=" abcd", min_size=0, max_size=24),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_shingle_hashes_match_naive(self, texts):
+        import pandas as pd
+        import pyarrow as pa
+
+        from georay.dedup import _shingle_hashes, _tokens_nonempty
+
+        arr = pa.array(texts, pa.string())
+        sh, offsets = _shingle_hashes(arr, k=3)
+        # naive: per doc, tokenized, hashed, rolled
+        C1, C2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0x85EBCA77C2B2AE63)
+        for i, t in enumerate(texts):
+            toks = [x for x in __import__("re").split(r"\s+", t) if x]
+            if toks:
+                th = pd.util.hash_array(np.asarray(toks, dtype=object)).astype(np.uint64)
+            else:
+                th = np.empty(0, np.uint64)
+            if len(th) >= 3:
+                want = th[:-2] * C1
+                want = want + th[1:-1] * C2
+                want = want + th[2:] * (C1 ^ C2)
+            else:
+                want = th
+            got = sh[offsets[i] : offsets[i + 1]]
+            np.testing.assert_array_equal(got, want)
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=40),
+        st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=6),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_winnow_matches_naive(self, values, seg_sizes):
+        from georay.dedup import winnow_minima
+
+        total = sum(seg_sizes)
+        vals = np.asarray((values * 40)[:total], dtype=np.uint64)
+        offsets = np.zeros(len(seg_sizes) + 1, np.int64)
+        np.cumsum(seg_sizes, out=offsets[1:])
+        counts, digests = winnow_minima(vals, offsets, window=4)
+        for i, size in enumerate(seg_sizes):
+            seg = vals[offsets[i] : offsets[i + 1]]
+            if len(seg) == 0:
+                assert counts[i] == 0 and digests[i] == 0
+                continue
+            if len(seg) >= 4:
+                mins = [seg[j : j + 4].min() for j in range(len(seg) - 3)]
+            else:
+                mins = [seg.min()]
+            fp = np.unique(np.asarray(mins, dtype=np.uint64))
+            assert counts[i] == len(fp)
+            assert digests[i] == np.bitwise_xor.reduce(fp)
+
+    @given(st.integers(min_value=0, max_value=2**31), st.integers(min_value=0, max_value=2**31))
+    @settings(max_examples=40, deadline=None)
+    def test_union_area_bounds(self, dx_raw, dy_raw):
+        from georay.geom.union import _signed_area, union_overlapping_rings
+
+        # two unit squares offset by a sub-unit vector: union area must be
+        # area_a + area_b - overlap, where the axis-aligned overlap is exact
+        dx = (dx_raw % 1000) / 1001.0 + 1e-4
+        dy = (dy_raw % 1000) / 1001.0 + 1e-4
+        A = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)
+        B = A + np.array([dx, dy])
+        u = union_overlapping_rings(A, B)
+        overlap = (1 - dx) * (1 - dy)
+        assert _signed_area(u) == pytest.approx(2.0 - overlap, rel=1e-9)
