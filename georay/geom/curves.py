@@ -67,11 +67,16 @@ def _segment_coords(seg: dict, epsg: int, latlon: bool | None = None) -> np.ndar
     from georay import registry
 
     if t in registry.SEGMENT_KERNELS:  # user-extension point (SURVEY §2.10)
-        out = registry._coerce_coords(registry.SEGMENT_KERNELS[t](seg, epsg, latlon))
         need = MIN_SEGMENT_POSITIONS.get(t, 0)
-        if len(out) < need:
-            raise ValueError(f"{t} segment requires >= {need} positions, got {len(out)}")
-        return out
+        in_coords = seg.get("coords")
+        # G-09 validates the segment's INPUT positions (a densifying
+        # kernel's output count says nothing about input validity)
+        if in_coords is not None and len(np.asarray(in_coords).reshape(-1, 2)) < need:
+            raise ValueError(
+                f"{t} segment requires >= {need} positions, "
+                f"got {len(np.asarray(in_coords).reshape(-1, 2))}"
+            )
+        return registry._coerce_coords(registry.SEGMENT_KERNELS[t](seg, epsg, latlon))
     coords = np.asarray(seg["coords"], dtype=np.float64).reshape(-1, 2)
     need = MIN_SEGMENT_POSITIONS.get(t)
     if need is None:
@@ -116,9 +121,10 @@ def curve_coordinate_list(geom: dict, epsg: int | None = None, latlon: bool | No
     raise ValueError(f"Unsupported curve kind: {kind}")
 
 
-def _any_proper_crossing(rings: list[np.ndarray]) -> bool:
+def _any_proper_crossing(rings: list[np.ndarray], chunk: int = 1024) -> bool:
     """Do any two patch rings cross transversally (overlapping patches,
-    not merely edge-adjacent)?"""
+    not merely edge-adjacent)?  Chunked with bbox pruning so large patch
+    complexes never allocate a dense E_i x E_j matrix at once."""
     from georay.geom.relate import segments_cross_kinds
 
     closed = []
@@ -127,12 +133,37 @@ def _any_proper_crossing(rings: list[np.ndarray]) -> bool:
         if len(r) and not np.array_equal(r[0], r[-1]):
             r = np.vstack([r, r[0]])
         closed.append(r)
+    bboxes = [
+        (r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()) for r in closed
+    ]
     for i in range(len(closed)):
         for j in range(i + 1, len(closed)):
+            ai, bj = bboxes[i], bboxes[j]
+            if ai[2] < bj[0] or bj[2] < ai[0] or ai[3] < bj[1] or bj[3] < ai[1]:
+                continue
             a, b = closed[i], closed[j]
-            proper, _ = segments_cross_kinds(a[:-1], a[1:], b[:-1], b[1:])
-            if bool(proper.any()):
-                return True
+            b1_all, b2_all = b[:-1], b[1:]
+            bmin = np.minimum(b1_all, b2_all)
+            bmax = np.maximum(b1_all, b2_all)
+            ea1, ea2 = a[:-1], a[1:]
+            for s in range(0, len(ea1), chunk):
+                a1 = ea1[s : s + chunk]
+                a2 = ea2[s : s + chunk]
+                lo = np.minimum(a1, a2).min(axis=0)
+                hi = np.maximum(a1, a2).max(axis=0)
+                keep = ~(
+                    (bmax[:, 0] < lo[0]) | (bmin[:, 0] > hi[0])
+                    | (bmax[:, 1] < lo[1]) | (bmin[:, 1] > hi[1])
+                )
+                if not keep.any():
+                    continue
+                b1k, b2k = b1_all[keep], b2_all[keep]
+                for t in range(0, len(b1k), chunk):
+                    proper, _ = segments_cross_kinds(
+                        a1, a2, b1k[t : t + chunk], b2k[t : t + chunk]
+                    )
+                    if bool(proper.any()):
+                        return True
     return False
 
 
@@ -170,9 +201,27 @@ def merge_patch_rings(rings: list[np.ndarray]) -> np.ndarray:
     if len(rings) > 1 and _any_proper_crossing(rings):
         from georay.geom.union import union_overlapping_rings
 
+        # worklist fold: always union a ring that actually meets the
+        # accumulator (input order must not matter — a pair of mutually
+        # disjoint patches bridged by a later one is still one polygon)
         acc = rings[0]
-        for r in rings[1:]:
-            acc = union_overlapping_rings(acc, r)
+        remaining = list(rings[1:])
+        while remaining:
+            progressed = False
+            for i, r in enumerate(remaining):
+                try:
+                    acc = union_overlapping_rings(acc, r)
+                except ValueError as ex:
+                    if "disjoint" in str(ex):
+                        continue
+                    raise
+                remaining.pop(i)
+                progressed = True
+                break
+            if not progressed:
+                raise ValueError(
+                    "patch complex does not union into a single connected polygon"
+                )
         return acc
     if len(rings) == 1:
         r = rings[0]

@@ -77,11 +77,13 @@ def _proper_intersections(a: np.ndarray, b: np.ndarray):
     return out
 
 
-def union_overlapping_rings(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def union_overlapping_rings(a: np.ndarray, b: np.ndarray, _retry: bool = True) -> np.ndarray:
     """Exterior boundary of the union of two simple rings whose
     boundaries cross transversally (an even number of proper crossings).
     Containment cases return the outer ring; disjoint rings raise (the
-    union is not a single polygon)."""
+    union is not a single polygon); a union that would create an interior
+    ring (hole) raises rather than silently dropping it — matching the
+    cancellation path's multiple-boundary-rings contract."""
     a = _ccw(_close(a))
     b = _ccw(_close(b))
     inter = _proper_intersections(a, b)
@@ -98,7 +100,7 @@ def union_overlapping_rings(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
     # augmented vertex sequences: ring vertices + crossings (sorted by
     # edge position), with cross-links between the two sequences
-    def augment(ring, key_edge, key_t, which):
+    def augment(ring, key_edge, key_t):
         nodes = []  # (point, xid | None)
         by_edge: dict[int, list[tuple[float, int]]] = {}
         for xid, item in enumerate(inter):
@@ -111,8 +113,8 @@ def union_overlapping_rings(a: np.ndarray, b: np.ndarray) -> np.ndarray:
                 nodes.append((inter[xid][4], xid))
         return nodes
 
-    na = augment(a, 0, 1, "a")
-    nb = augment(b, 2, 3, "b")
+    na = augment(a, 0, 1)
+    nb = augment(b, 2, 3)
     pos_a = {xid: i for i, (_, xid) in enumerate(na) if xid is not None}
     pos_b = {xid: i for i, (_, xid) in enumerate(nb) if xid is not None}
 
@@ -126,30 +128,46 @@ def union_overlapping_rings(a: np.ndarray, b: np.ndarray) -> np.ndarray:
                 start_idx = i
                 break
     if start_idx is None:
-        # A has no vertex outside B: A ⊆ B despite crossings is impossible
-        # for proper crossings; fall back to B-outside-A start by symmetry
-        return union_overlapping_rings(b, a)
+        # A has no vertex strictly outside B; try the symmetric start once
+        # (near-coincident rings have no such vertex on EITHER side —
+        # degenerate, not an infinite mutual fallback)
+        if _retry:
+            return union_overlapping_rings(b, a, _retry=False)
+        raise ValueError(
+            "no start vertex strictly outside the other ring on either side "
+            "(near-coincident overlapping rings); degenerate for the union walk"
+        )
 
     out = [na[start_idx][0]]
+    visited: set[int] = set()
     ring_id, idx = "A", start_idx
     max_steps = 2 * (len(na) + len(nb)) + 4
     for _ in range(max_steps):
         if ring_id == "A":
             idx = (idx + 1) % len(na)
             pt, xid = na[idx]
-            if ring_id == "A" and idx == start_idx:
+            if idx == start_idx:
                 break
             out.append(pt)
             if xid is not None:
+                visited.add(xid)
                 ring_id, idx = "B", pos_b[xid]
         else:
             idx = (idx + 1) % len(nb)
             pt, xid = nb[idx]
             out.append(pt)
             if xid is not None:
+                visited.add(xid)
                 ring_id, idx = "A", pos_a[xid]
     else:
         raise ValueError("union walk did not close (degenerate ring pair)")
+    if len(visited) < len(inter):
+        # crossings not on the exterior walk belong to an interior ring:
+        # the union has a hole this representation cannot carry
+        raise ValueError(
+            "union creates an interior ring (hole); merge_patch_rings only "
+            "returns a single simple exterior"
+        )
     out.append(out[0])
     ring = np.asarray(out, dtype=np.float64)
     # drop consecutive duplicates introduced by switching exactly at a point

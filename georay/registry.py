@@ -34,28 +34,46 @@ CURVE_KIND_KERNELS: dict[str, Callable] = {}
 PATCH_KERNELS: dict[str, Callable] = {}
 
 
+_BUILTIN_CURVE_KINDS = frozenset(
+    {"LineString", "LinearRing", "Curve", "CompositeCurve", "OrientableCurve", "Ring"}
+)
+_BUILTIN_PATCH_KINDS = frozenset({"Polygon", "Rectangle", "Triangle"})
 _BUILTIN_MIN_POSITIONS: frozenset | None = None
+
+
+def _reject_builtin(name: str, builtins) -> None:
+    if name in builtins:
+        raise ValueError(
+            f"cannot shadow builtin kind {name!r}: extensions add NEW kinds "
+            "(the reference's enum+map registry raises on redefinition too, "
+            "and overriding a builtin would silently break conformance parity)"
+        )
 
 
 def register_segment_type(name: str, fn: Callable, min_positions: int = 2) -> None:
     """Plug a new gml curve-segment kind into ``curve_coordinate_list``
-    (C-04 dispatch).  ``min_positions`` feeds the G-09 validation table."""
+    (C-04 dispatch).  ``min_positions`` feeds the G-09 validation table:
+    the segment's INPUT ``coords`` (when present) must carry at least
+    this many positions before the kernel runs."""
     global _BUILTIN_MIN_POSITIONS
     from georay.geom import curves
 
     if _BUILTIN_MIN_POSITIONS is None:
         _BUILTIN_MIN_POSITIONS = frozenset(curves.MIN_SEGMENT_POSITIONS)
+    _reject_builtin(name, _BUILTIN_MIN_POSITIONS)
     SEGMENT_KERNELS[name] = fn
     curves.MIN_SEGMENT_POSITIONS[name] = int(min_positions)
 
 
 def register_curve_kind(name: str, fn: Callable) -> None:
     """Plug a new curve container kind into the C-03 dispatch."""
+    _reject_builtin(name, _BUILTIN_CURVE_KINDS)
     CURVE_KIND_KERNELS[name] = fn
 
 
 def register_patch_kind(name: str, fn: Callable) -> None:
     """Plug a new surface patch kind into the C-14 dispatch."""
+    _reject_builtin(name, _BUILTIN_PATCH_KINDS)
     PATCH_KERNELS[name] = fn
 
 

@@ -82,3 +82,31 @@ class TestPatchExtension:
         out = surface_exterior_boundary(surf)
         assert len(out) == 7
         np.testing.assert_allclose(out[0], out[-1])
+
+
+class TestBuiltinShadowRejected:
+    def test_segment_builtin_rejected(self):
+        with pytest.raises(ValueError):
+            registry.register_segment_type("LineString", lambda s, e, l: None)
+
+    def test_curve_kind_builtin_rejected(self):
+        with pytest.raises(ValueError):
+            registry.register_curve_kind("Curve", lambda g, e, l: None)
+
+    def test_patch_builtin_rejected(self):
+        with pytest.raises(ValueError):
+            registry.register_patch_kind("Polygon", lambda p, e: None)
+
+    def test_min_positions_validates_input_not_output(self):
+        # a densifying kernel returning many samples must not mask a
+        # too-short INPUT segment
+        registry.register_segment_type(
+            "Bezierish",
+            lambda seg, e, l: np.column_stack([np.linspace(0, 1, 50), np.zeros(50)]),
+            min_positions=4,
+        )
+        with pytest.raises(ValueError):
+            curve_coordinate_list(
+                {"kind": "Curve", "epsg": 4326,
+                 "segments": [{"type": "Bezierish", "coords": [[0, 0], [1, 1]]}]}
+            )

@@ -91,3 +91,35 @@ class TestOverlappingSurfacePatches:
         ]
         out = merge_patch_rings(rings)
         assert len(out) == 7  # 6 distinct corners + closure
+
+
+class TestUnionReviewRegressions:
+    def test_near_coincident_rings_raise_not_recurse(self):
+        # every vertex within eps of the other boundary: no valid start
+        # on either side -> ValueError, not RecursionError
+        b = SQ_A + np.array([1e-12, -1e-12])
+        with pytest.raises(ValueError):
+            union_overlapping_rings(SQ_A, b)
+
+    def test_bridged_patches_order_independent(self):
+        sq1 = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)
+        sq2 = sq1 + np.array([3.0, 0.0])
+        bar = np.array(
+            [[-1, 0.25], [5, 0.25], [5, 0.75], [-1, 0.75], [-1, 0.25]], float
+        )
+        for order in ([bar, sq1, sq2], [sq1, sq2, bar], [sq2, bar, sq1]):
+            out = merge_patch_rings([r.copy() for r in order])
+            assert _signed_area(out) == pytest.approx(
+                1.0 + 1.0 + 6 * 0.5 - 2 * (1.0 * 0.5)
+            )
+
+    def test_union_with_hole_raises(self):
+        # U-shape closed by a bar: the union has an interior ring the
+        # single-exterior representation cannot carry -> loud error
+        u_shape = np.array(
+            [[0, 0], [3, 0], [3, 3], [2, 3], [2, 1], [1, 1], [1, 3], [0, 3], [0, 0]],
+            float,
+        )
+        bar = np.array([[-0.5, 2], [3.5, 2], [3.5, 2.5], [-0.5, 2.5], [-0.5, 2]], float)
+        with pytest.raises(ValueError):
+            union_overlapping_rings(u_shape, bar)
