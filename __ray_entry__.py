@@ -901,6 +901,45 @@ def _q_cell_polygons(sf_dir: str):
     return _q_cell_rollup(sf_dir).map_batches(vectorize, batch_format="pyarrow")
 
 
+def _q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate per event type (time-windowed
+    groupby): window key = integer floor of epoch-us to the hour, exact
+    on both sides."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    HOUR_US = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b.column("ts").cast(pa.int64()).to_numpy()
+        win = (ts_us // HOUR_US) * HOUR_US
+        cents = np.round(b.column("value").to_numpy() * 100).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "window_start": pa.array(win.astype("datetime64[us]"), pa.timestamp("us")),
+                "n_events": pa.array(np.ones(len(win), np.int64)),
+                "value_cents": pa.array(cents),
+            }
+        )
+        return (
+            t.group_by(["event_type", "window_start"])
+            .aggregate([("n_events", "sum"), ("value_cents", "sum")])
+            .rename_columns(["event_type", "window_start", "n_events", "value_cents"])
+        )
+
+    def merge(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by(["event_type", "window_start"])
+            .aggregate([("n_events", "sum"), ("value_cents", "sum")])
+            .rename_columns(["event_type", "window_start", "n_events", "value_cents"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def _q_events_window(sf_dir: str):
     """Windowed top-1: highest-value event per user (groupby.map_groups)."""
     import pandas as pd
@@ -943,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "asof_purchase": _q_asof_purchase,
         "events_window": _q_events_window,
+        "events_hourly": _q_events_hourly,
         "geo_extract": _q_geo_extract,
         "tile_assign": _q_tile_assign,
         "cell_agg": _q_cell_agg,
@@ -1435,6 +1475,12 @@ def oracle_sql() -> dict[str, str]:
                    -180.0 + (parent_cell % 536870912) * 22.5 + 22.5 AS maxlon,
                    -90.0 + ((parent_cell // 536870912) % 536870912 % 32) * 11.25 + 11.25 AS maxlat
             FROM rolled""",
+        "events_hourly": """
+            SELECT event_type,
+                   make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2""",
         "events_window": """
             SELECT user_id, event_id FROM (
               SELECT user_id, event_id,

@@ -356,15 +356,89 @@ def band_bucket_pairs(
     (≤ a few million buckets of id-lists after per-block combining).
 
     mode="groupby": Ray's sort-based ``groupby(["band","key"])`` with a
-    per-bucket pair kernel — the scale path when the bucket table cannot
-    flow through one merge task.  Per-group dispatch bounds it to
-    workloads whose bucket count is itself bounded (e.g. hyperplane LSH:
-    ``2^planes × tables`` buckets), or to true-cluster scale where the
-    dispatch spreads across nodes.
+    per-bucket pair kernel — per-group dispatch bounds it to workloads
+    whose bucket count is itself bounded (e.g. hyperplane LSH:
+    ``2^planes × tables`` buckets).
 
-    Buckets larger than ``max_bucket`` are truncated in both modes
-    (pathological all-identical shards) and flagged.
+    mode="join": distributed self-hash-join on (band, key) — the
+    unbounded-cardinality scale path (10^12-doc MinHash: no single merge
+    task, no per-group dispatch, every stage a partitioned C++ join /
+    groupby).  No ``max_bucket`` cap applies — a hot bucket expands
+    quadratically, so upstream signature design (or a pre-join bucket
+    count filter) must bound bucket sizes.
+
+    Buckets larger than ``max_bucket`` are truncated in tree/groupby
+    modes (pathological all-identical shards) and flagged.
     """
+    if mode == "join":
+        from ray.data.aggregate import Max as _Max
+
+        right = banded_ds.map_batches(
+            lambda b: pa.table(
+                {"band": b.column("band"), "key": b.column("key"),
+                 "doc_b": b.column(id_col)}
+            )
+            if b.num_rows
+            else pa.table(
+                {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        left = banded_ds.map_batches(
+            lambda b: pa.table(
+                {"band": b.column("band"), "key": b.column("key"),
+                 "doc_a": b.column(id_col)}
+            )
+            if b.num_rows
+            else pa.table(
+                {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
+                 "doc_a": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        import ray as _ray
+
+        n_part = max(4, min(int(_ray.cluster_resources().get("CPU", 4)), 32))
+        j = left.join(right, join_type="inner", num_partitions=n_part, on=("band", "key"))
+
+        def ordered(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                     "truncated": pa.array([], pa.int32())}
+                )
+            da = b.column("doc_a").to_numpy()
+            db = b.column("doc_b").to_numpy()
+            keep = da < db
+            return pa.table(
+                {
+                    "doc_a": pa.array(da[keep], pa.int64()),
+                    "doc_b": pa.array(db[keep], pa.int64()),
+                    "truncated": pa.array(np.zeros(int(keep.sum()), np.int32), pa.int32()),
+                }
+            )
+
+        distinct = (
+            j.map_batches(ordered, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(_Max("truncated", alias_name="truncated"))
+        )
+
+        def _as_bool_j(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                     "truncated": pa.array([], pa.bool_())}
+                )
+            return pa.table(
+                {"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b"),
+                 "truncated": pa.compute.cast(
+                     pa.compute.greater(b.column("truncated"), 0), pa.bool_()
+                 )}
+            )
+
+        return distinct.map_batches(_as_bool_j, batch_format="pyarrow")
     if mode == "groupby":
         from ray.data.aggregate import Max as _Max
 

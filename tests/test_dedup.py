@@ -226,3 +226,26 @@ class TestTextKeyIndependence:
         h1 = out.column("h1").to_pylist()
         h2 = out.column("h2").to_pylist()
         assert h1 != h2  # independent hash functions
+
+
+class TestBandBucketModes:
+    def test_all_modes_agree(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from georay.dedup import band_bucket_pairs
+
+        rng = np.random.default_rng(2)
+        n = 200
+        t = pa.table({
+            "band": pa.array(rng.integers(0, 4, n), pa.int32()),
+            "key": pa.array(rng.integers(0, 20, n), pa.int64()),
+            "doc_id": pa.array(rng.integers(0, 60, n), pa.int64()),
+        })
+        results = {}
+        for mode in ("tree", "groupby", "join"):
+            ds = ray.data.from_arrow(t)
+            out = band_bucket_pairs(ds, mode=mode).to_pandas()
+            results[mode] = set(zip(out.doc_a, out.doc_b))
+        assert results["tree"] == results["groupby"] == results["join"]
+        assert len(results["tree"]) > 0
