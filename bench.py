@@ -264,9 +264,28 @@ def run_queries(sf_dir: str):
     return out
 
 
+def _pin_cpus(n: int) -> bool:
+    """Restrict THIS process (and everything it spawns — the raylet and
+    all Ray workers inherit the mask) to the first ``n`` host CPUs.  The
+    physical bound makes a num_cpus=N leg a faithful N-core-node proxy:
+    without it, an unthrottled host lets the small leg borrow far beyond
+    its share through Ray core / IO threads and the efficiency ratio
+    measures host-supply fluctuation instead of engine scheduling."""
+    try:
+        avail = sorted(os.sched_getaffinity(0))
+        if len(avail) <= n:
+            return False
+        os.sched_setaffinity(0, set(avail[:n]))
+        return True
+    except (AttributeError, OSError):  # non-Linux / restricted sandbox
+        return False
+
+
 def one_run(args) -> dict:
     import ray
 
+    if args.pin_cpus:
+        args.pinned = _pin_cpus(args.num_cpus)
     pages_dir = ensure_pages(args.sf_dir, args.pages, skew=args.skew)
     head = run_flagship(pages_dir, args.num_cpus, repeats=args.repeats)
     qs = run_queries(args.sf_dir) if args.queries else {}
@@ -279,6 +298,7 @@ def one_run(args) -> dict:
         "queries": qs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": args.num_cpus,
+        "cpus_pinned": bool(getattr(args, "pinned", False)),
         "skew": args.skew,
         "docs": head["docs"],
         "docs_per_sec": round(head["docs_per_sec"], 1),
@@ -323,6 +343,7 @@ def scaling_run(args) -> dict:
             "--num-cpus", str(n),
             "--repeats", str(max(3, args.repeats)),
             "--no-queries",
+            "--pin-cpus",
         ] + (["--skew"] if args.skew else [])
         log(f"scaling run num_cpus={n} ...")
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
@@ -357,6 +378,10 @@ def main():
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--pages", type=int, default=None)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument(
+        "--pin-cpus", action="store_true", default=False,
+        help="bind the process tree to num_cpus host cores (scaling legs set this)",
+    )
     # default 4 vs 16: this sandbox exposes ~23 effective cores, so an
     # 8-vs-32 comparison is capped by hardware, not the engine; both legs
     # must fit under the physical core budget to proxy N vs 4N nodes
