@@ -38,6 +38,14 @@ from georay.pipelines.polygons import (
 )
 from georay.stages.join import KNNJoinActor, SpatialJoinActor
 
+def _cents(v: np.ndarray) -> np.ndarray:
+    """Money -> integer cents with HALF-AWAY rounding via floor(x*100+0.5),
+    matching DuckDB's round() exactly for the non-negative values in these
+    tables (np.round is half-to-even — a latent 1-cent divergence whenever
+    a value lands on an exact .5 of a cent)."""
+    return np.floor(v * 100 + 0.5).astype(np.int64)
+
+
 SF001 = "/root/testdata/sf0.001"
 CELL_RES = 7
 
@@ -107,7 +115,11 @@ def _q_cell_agg(sf_dir: str):
     from georay.stages.aggregate import cell_partial_agg, final_cell_agg
 
     ds = _geo(sf_dir)
-    return final_cell_agg(ds.map_batches(cell_partial_agg, batch_format="pyarrow"))
+    # mode="auto": cardinality-measured tree/groupby choice (the upstream
+    # here is the session-materialized geo cache, so eagerness is free)
+    return final_cell_agg(
+        ds.map_batches(cell_partial_agg, batch_format="pyarrow"), mode="auto"
+    )
 
 
 def _q_bbox_join(sf_dir: str):
@@ -203,8 +215,8 @@ def _q_lineitem_agg(sf_dir: str):
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        qty = np.round(b.column("l_quantity").to_numpy() * 100).astype(np.int64)
-        price = np.round(b.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        qty = _cents(b.column("l_quantity").to_numpy())
+        price = _cents(b.column("l_extendedprice").to_numpy())
         t = pa.table(
             {
                 "l_returnflag": b.column("l_returnflag"),
@@ -250,7 +262,7 @@ def _q_top_customers(sf_dir: str):
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
     def to_cents(b: pa.Table) -> pa.Table:
-        c = np.round(b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        c = _cents(b.column("o_totalprice").to_numpy())
         return pa.table({"o_custkey": b.column("o_custkey"), "price_c": pa.array(c)})
 
     def combine(b: pa.Table) -> pa.Table:
@@ -316,7 +328,7 @@ def _q_events_by_type(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
     def to_cents(b: pa.Table) -> pa.Table:
-        c = np.round(b.column("value").to_numpy() * 100).astype(np.int64)
+        c = _cents(b.column("value").to_numpy())
         return pa.table({"event_type": b.column("event_type"), "ts": b.column("ts"), "value_c": pa.array(c)})
 
     # 5 distinct event types: per-block pyarrow combine + one tiny merge
@@ -792,7 +804,7 @@ def _q_segment_revenue(sf_dir: str):
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
 
     def to_cents(b: pa.Table) -> pa.Table:
-        c = np.round(b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        c = _cents(b.column("o_totalprice").to_numpy())
         return pa.table({"o_custkey": b.column("o_custkey"), "price_c": pa.array(c)})
 
     # join partitions sized to the work, capped by the cluster: a few
@@ -911,7 +923,7 @@ def _q_events_hourly(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         ts_us = b.column("ts").cast(pa.int64()).to_numpy()
         win = (ts_us // HOUR_US) * HOUR_US
-        cents = np.round(b.column("value").to_numpy() * 100).astype(np.int64)
+        cents = _cents(b.column("value").to_numpy())
         t = pa.table(
             {
                 "event_type": b.column("event_type"),

@@ -353,6 +353,8 @@ def scaling_run(args) -> dict:
         results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
     dps_lo = results[lo]["docs_per_sec"]
     dps_hi = results[hi]["docs_per_sec"]
+    pinned_lo = results[lo].get("cpus_pinned", False)
+    pinned_hi = results[hi].get("cpus_pinned", False)
     eff = dps_hi / (dps_lo * (hi / lo))
     ceiling = _cpu_ceiling(lo, hi)
     return {
@@ -367,6 +369,11 @@ def scaling_run(args) -> dict:
         f"docs_per_sec@{hi}": dps_hi,
         "scaling_efficiency": round(eff, 3),
         "skew": args.skew,
+        # a mixed pinned/unpinned run (e.g. hi == all available cores, so
+        # pinning no-ops there) must be visibly different from a fully
+        # pinned one — the validity of the ratio depends on it
+        f"cpus_pinned@{lo}": pinned_lo,
+        f"cpus_pinned@{hi}": pinned_hi,
         "hw_cpu_scaling_ceiling": round(ceiling, 3),
         "efficiency_vs_hw_ceiling": round(eff / ceiling, 3),
     }

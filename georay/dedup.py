@@ -342,6 +342,20 @@ def _bucket_list_merge(batch: pa.Table) -> pa.Table:
     )
 
 
+def _truncated_int_to_bool(b: pa.Table) -> pa.Table:
+    """(doc_a, doc_b, truncated:int32) -> bool flag, typed even when the
+    upstream sort aggregate emits a schemaless empty partition."""
+    if b.num_rows == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "truncated": pa.array([], pa.bool_())}
+        )
+    return pa.table(
+        {"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b"),
+         "truncated": pa.compute.cast(pa.compute.greater(b.column("truncated"), 0), pa.bool_())}
+    )
+
+
 def band_bucket_pairs(
     banded_ds, id_col: str = "doc_id", fanout: int = 8, max_bucket: int = 512,
     mode: str = "tree",
@@ -373,34 +387,31 @@ def band_bucket_pairs(
     if mode == "join":
         from ray.data.aggregate import Max as _Max
 
-        right = banded_ds.map_batches(
-            lambda b: pa.table(
-                {"band": b.column("band"), "key": b.column("key"),
-                 "doc_b": b.column(id_col)}
-            )
-            if b.num_rows
-            else pa.table(
-                {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
-                 "doc_b": pa.array([], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-        left = banded_ds.map_batches(
-            lambda b: pa.table(
-                {"band": b.column("band"), "key": b.column("key"),
-                 "doc_a": b.column(id_col)}
-            )
-            if b.num_rows
-            else pa.table(
-                {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
-                 "doc_a": pa.array([], pa.int64())}
-            ),
-            batch_format="pyarrow",
+        def _project(out_col):
+            def fn(b: pa.Table) -> pa.Table:
+                if b.num_rows == 0:
+                    return pa.table(
+                        {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
+                         out_col: pa.array([], pa.int64())}
+                    )
+                return pa.table(
+                    {"band": b.column("band"), "key": b.column("key"),
+                     out_col: b.column(id_col)}
+                )
+
+            return fn
+
+        # materialize the slim (band, key, id) projection ONCE — deriving
+        # both join sides from the lazy upstream would re-execute the
+        # whole signature/banding lineage twice (the dominant cost)
+        slim = banded_ds.map_batches(_project("doc_a"), batch_format="pyarrow").materialize()
+        right = slim.map_batches(
+            lambda b: b.rename_columns(["band", "key", "doc_b"]), batch_format="pyarrow"
         )
         import ray as _ray
 
         n_part = max(4, min(int(_ray.cluster_resources().get("CPU", 4)), 32))
-        j = left.join(right, join_type="inner", num_partitions=n_part, on=("band", "key"))
+        j = slim.join(right, join_type="inner", num_partitions=n_part, on=("band", "key"))
 
         def ordered(b: pa.Table) -> pa.Table:
             if b.num_rows == 0:
@@ -424,21 +435,7 @@ def band_bucket_pairs(
             .groupby(["doc_a", "doc_b"])
             .aggregate(_Max("truncated", alias_name="truncated"))
         )
-
-        def _as_bool_j(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return pa.table(
-                    {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                     "truncated": pa.array([], pa.bool_())}
-                )
-            return pa.table(
-                {"doc_a": b.column("doc_a"), "doc_b": b.column("doc_b"),
-                 "truncated": pa.compute.cast(
-                     pa.compute.greater(b.column("truncated"), 0), pa.bool_()
-                 )}
-            )
-
-        return distinct.map_batches(_as_bool_j, batch_format="pyarrow")
+        return distinct.map_batches(_truncated_int_to_bool, batch_format="pyarrow")
     if mode == "groupby":
         from ray.data.aggregate import Max as _Max
 
@@ -469,26 +466,7 @@ def band_bucket_pairs(
             .groupby(["doc_a", "doc_b"])
             .aggregate(_Max("truncated", alias_name="truncated"))
         )
-        def _as_bool(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return pa.table(
-                    {
-                        "doc_a": pa.array([], pa.int64()),
-                        "doc_b": pa.array([], pa.int64()),
-                        "truncated": pa.array([], pa.bool_()),
-                    }
-                )
-            return pa.table(
-                {
-                    "doc_a": b.column("doc_a"),
-                    "doc_b": b.column("doc_b"),
-                    "truncated": pa.compute.cast(
-                        pa.compute.greater(b.column("truncated"), 0), pa.bool_()
-                    ),
-                }
-            )
-
-        return distinct.map_batches(_as_bool, batch_format="pyarrow")
+        return distinct.map_batches(_truncated_int_to_bool, batch_format="pyarrow")
 
     merged = banded_ds.map_batches(
         lambda b: _bucket_list_partial(b, id_col), batch_format="pyarrow", batch_size=None

@@ -64,34 +64,43 @@ def merge_cell_partials(batch: pa.Table) -> pa.Table:
     )
 
 
-def final_cell_agg(ds, mode: str = "auto", fanout: int = 8,
+def final_cell_agg(ds, mode: str = "tree", fanout: int = 8,
                    tree_row_limit: int = 2_000_000):
     """Merge partials per cell -> final per-cell rows.
 
-    mode="tree": per-block pyarrow merge, coalesce to ``fanout`` blocks,
-    merge again, coalesce to 1, final merge.  All merging is C++
+    mode="tree" (default): per-block pyarrow merge, coalesce to ``fanout``
+    blocks, merge again, coalesce to 1, final merge.  All merging is C++
     group_by; the only data movement is two repartitions of already-merged
     (small) partials.  Orders of magnitude cheaper than a sort-based
     shuffle when the number of distinct cells is moderate (<= a few
-    million — tile grids qualify).
+    million — tile grids qualify).  Keeps the pipeline fully LAZY.
 
     mode="groupby": Ray's sort-based ``groupby().aggregate`` — the scale
     path when distinct-key cardinality is too large for a single final
     merge task.
 
-    mode="auto" (default): runs the per-block merge level, MEASURES the
-    surviving partial-row count, and picks tree when it fits comfortably
-    in one merge task (``tree_row_limit``) else the sort-based groupby —
-    the mode choice follows the data, not caller knowledge.
+    mode="auto": runs the per-block merge level, MEASURES the surviving
+    partial-row count, and picks tree when it fits comfortably in one
+    merge task (``tree_row_limit``) else the sort-based groupby — the
+    mode choice follows the data, not caller knowledge.  NOTE: auto is
+    necessarily EAGER (it executes the upstream pipeline up to the
+    partials to count them), so streaming one-pass callers that know
+    their key cardinality should pass tree/groupby explicitly.
     """
     if mode == "auto":
         merged = ds.map_batches(
             merge_cell_partials, batch_format="pyarrow", batch_size=None
         ).materialize()
         n = merged.count()
-        return final_cell_agg(
-            merged, mode="tree" if n <= tree_row_limit else "groupby", fanout=fanout
-        )
+        if n <= tree_row_limit:
+            # partials are already block-merged — only the coalesce levels remain
+            out = merged.repartition(fanout).map_batches(
+                merge_cell_partials, batch_format="pyarrow", batch_size=None
+            )
+            return out.repartition(1).map_batches(
+                merge_cell_partials, batch_format="pyarrow", batch_size=None
+            )
+        return final_cell_agg(merged, mode="groupby", fanout=fanout)
     if mode == "tree":
         merged = ds.map_batches(merge_cell_partials, batch_format="pyarrow", batch_size=None)
         merged = merged.repartition(fanout).map_batches(
