@@ -65,7 +65,15 @@ def cmd_resume(args):
 
     from georay.state.checkpoint import resumable_run
 
-    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if os.path.isfile(args.input):
+        files = [args.input]
+    else:
+        files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    if not files:
+        # a silent 0-partition "success" would look like a finished run
+        print(f"error: no parquet files found under {args.input!r}", file=sys.stderr)
+        ray.shutdown()
+        sys.exit(2)
     stats = resumable_run(files, args.out, build, group_size=args.group_size)
     print(json.dumps(stats))
     ray.shutdown()
