@@ -405,6 +405,25 @@ def _cases() -> list[tuple[str, Callable[[], Value], Value]]:
     C.append(("t05_add_hour", lambda: float(add_us(1_000_000, 3_600_000_000)),
               float(1_000_000 + 3_600_000_000)))
 
+    # ---- R-01 reprojection (setCRS, TopologicalRelationships.java:261-271;
+    # fixtures: Point-Atkinson-4326/-32610.xml, 1 m-rounded; round-trip at
+    # GeoAPI tolerance 1e-4 deg ~ 10 m, VerifyGeodesyUtils.java:85)
+    from georay.crs.projections import transformer
+
+    def utm_fwd():
+        return transformer(4326, 32610).transform(-123.2646, 49.3304)
+
+    C.append(("r01_atkinson_easting", lambda: _tol(utm_fwd()[0], 480775.0, 2.0), 1.0))
+    C.append(("r01_atkinson_northing", lambda: _tol(utm_fwd()[1], 5464220.0, 2.0), 1.0))
+    C.append(("r01_jericho_easting", lambda: _tol(
+        transformer(4326, 32610).transform(-123.2015, 49.2756)[0], 485341.0, 3.0), 1.0))
+    C.append(("r01_roundtrip_lon", lambda: _tol(
+        transformer(32610, 4326).transform(480775.0, 5464220.0)[0], -123.2646, 1e-4), 1.0))
+    C.append(("r01_roundtrip_lat", lambda: _tol(
+        transformer(32610, 4326).transform(480775.0, 5464220.0)[1], 49.3304, 1e-4), 1.0))
+    C.append(("r01_utm32n_lat", lambda: _tol(
+        transformer(32632, 4258).transform(358626.0, 5793259.0)[1], 52.2715, 0.01), 1.0))
+
     # ---- P-04 / P-05 DWithin & Beyond on the Atkinson/Jericho fixture
     # (VerifyTopologicalRelationships.java:119-152: within 8 km, NOT
     # within 3 nmi = 5556 m -> Beyond 3 nmi true)
