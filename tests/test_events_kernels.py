@@ -1,0 +1,82 @@
+"""Partition-vectorized event kernels: strictness and boundary cases the
+oracle only covers statistically (duplicate timestamps, purchases at the
+exact event instant, multi-user interleaving in one partition)."""
+
+import numpy as np
+import pandas as pd
+
+from georay.pipelines.events import GAP_US, asof_partition, sessionize_partition
+
+
+def _df(rows):
+    return pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "event_id": [r[1] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows], unit="s").astype("datetime64[us]"),
+            "event_type": [r[3] for r in rows],
+        }
+    )
+
+
+class TestAsofStrictness:
+    def test_purchase_at_same_instant_excluded(self):
+        g = _df([
+            (1, 10, 100, "purchase"),
+            (1, 11, 100, "view"),     # same ts as the purchase: NOT earlier
+            (1, 12, 200, "view"),
+        ])
+        out = asof_partition(g).set_index("event_id")["last_purchase"]
+        assert pd.isna(out[10])  # a purchase's own instant is not earlier
+        assert pd.isna(out[11])
+        assert out[12] == pd.Timestamp(100, unit="s")
+
+    def test_duplicate_purchase_timestamps(self):
+        g = _df([
+            (1, 10, 100, "purchase"),
+            (1, 11, 100, "purchase"),  # duplicate purchase ts
+            (1, 12, 150, "view"),
+        ])
+        out = asof_partition(g).set_index("event_id")["last_purchase"]
+        assert pd.isna(out[10]) and pd.isna(out[11])  # equal ts: strictly-earlier only
+        assert out[12] == pd.Timestamp(100, unit="s")
+
+    def test_users_isolated_within_partition(self):
+        g = _df([
+            (1, 10, 100, "purchase"),
+            (2, 20, 150, "view"),      # user 2 has no purchases
+            (1, 11, 200, "view"),
+        ])
+        out = asof_partition(g).set_index("event_id")["last_purchase"]
+        assert pd.isna(out[20])
+        assert out[11] == pd.Timestamp(100, unit="s")
+
+    def test_empty(self):
+        out = asof_partition(_df([]))
+        assert len(out) == 0
+
+
+class TestSessionizePartition:
+    def test_gap_splits_and_user_resets(self):
+        gap_s = GAP_US // 1_000_000
+        g = _df([
+            (1, 10, 0, "view"),
+            (1, 11, 10, "view"),                   # same session
+            (1, 12, 10 + gap_s + 1, "view"),        # gap -> session 2
+            (2, 20, 5, "view"),                     # new user -> own session 1
+        ])
+        out = sessionize_partition(g)
+        k = out.set_index(["user_id", "session_idx"])
+        assert k.loc[(1, 1), "n_events"] == 2
+        assert k.loc[(1, 2), "n_events"] == 1
+        assert k.loc[(2, 1), "n_events"] == 1
+
+    def test_boundary_exact_gap_is_same_session(self):
+        gap_s = GAP_US // 1_000_000
+        g = _df([(1, 10, 0, "view"), (1, 11, gap_s, "view")])  # diff == gap: NOT >
+        out = sessionize_partition(g)
+        assert len(out) == 1 and out.iloc[0]["n_events"] == 2
+
+    def test_empty(self):
+        out = sessionize_partition(_df([]))
+        assert len(out) == 0
