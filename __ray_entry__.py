@@ -672,6 +672,22 @@ def _q_cell_rollup(sf_dir: str):
     )
 
 
+def _q_top_cells(sf_dir: str):
+    """Global Dataset.sort (the engine's total-order operator): densest
+    20 cells by doc count, rank materialized from the sorted order so the
+    oracle verifies the ORDERING itself (the gate's value hash is
+    order-insensitive, the rank column is not)."""
+    from georay.stages.aggregate import cell_partial_agg, final_cell_agg
+
+    agg = final_cell_agg(
+        _geo(sf_dir).map_batches(cell_partial_agg, batch_format="pyarrow")
+    )
+    top = agg.sort(["n_docs", "cell"], descending=[True, False]).limit(20)
+    df = top.to_pandas().reset_index(drop=True)[["cell", "n_docs"]]
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df
+
+
 def _q_dwithin_poly(sf_dir: str):
     """P-04 DWithin against broadcast polygons: planar nearest point on the
     boundary (DistanceOp analog) then surface distance vs 300 km; interior
@@ -985,6 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_rollup": _q_cell_rollup,
         "cell_polygons": _q_cell_polygons,
         "dwithin_poly": _q_dwithin_poly,
+        "top_cells": _q_top_cells,
         "segment_revenue": _q_segment_revenue,
         "geo_explode": _q_geo_explode,
         "distinct_segments": _q_distinct_segments,
@@ -1295,6 +1312,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 4*288230376151711744 + ({iy7}//8)*536870912 + ({ix7}//8) AS parent_cell,
                    COUNT(*) AS n_docs
             FROM geo GROUP BY 1""",
+        "top_cells": f"""{geo_pages},
+            agg AS (
+              SELECT {_CELL_SQL} AS cell, COUNT(*) AS n_docs FROM geo GROUP BY 1)
+            SELECT cell, n_docs,
+                   row_number() OVER (ORDER BY n_docs DESC, cell) AS rank
+            FROM agg ORDER BY n_docs DESC, cell LIMIT 20""",
         "dwithin_poly": f"""{geo_pages},
             edges(polygon_id, eidx, x1, y1, x2, y2) AS (VALUES
             {star_edges_sql_values(with_idx=True)}),
