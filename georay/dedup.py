@@ -200,6 +200,35 @@ def _shingle_hashes(text: pa.Array, k: int = 3):
     return _roll_shingles(th, offsets, k)
 
 
+def _shingle_hashes2(text: pa.Array, k: int = 3):
+    """Like :func:`_shingle_hashes` but with TWO independently-keyed
+    streams (128-bit effective shingle identity): set operations on
+    (h1, h2) pairs match exact string-shingle sets up to a ~2^-128
+    collision probability — safe to stand in for string sets in
+    oracle-checked integer-Jaccard comparisons."""
+    tok_np, offsets = _tokens_nonempty(text)
+    n = len(offsets) - 1
+    if len(tok_np) == 0:
+        z = np.empty(0, np.uint64)
+        return z, z, np.zeros(n + 1, np.int64)
+    th1 = pd.util.hash_array(tok_np, hash_key=_KEY_A).astype(np.uint64)
+    th2 = pd.util.hash_array(tok_np, hash_key=_KEY_B).astype(np.uint64)
+    h1, off = _roll_shingles(th1, offsets, k)
+    h2, _ = _roll_shingles(th2, offsets, k)
+    return h1, h2, off
+
+
+def _segment_unique2(h1: np.ndarray, h2: np.ndarray, seg: np.ndarray):
+    """Per-segment set dedup of (h1, h2) value pairs: one lexsort + one
+    adjacent-difference mask over the whole batch (no per-segment loop).
+    Returns the deduped (h1, h2, seg) triplets sorted by segment."""
+    order = np.lexsort((h2, h1, seg))
+    a, b, s = h1[order], h2[order], seg[order]
+    keep = np.ones(len(s), bool)
+    keep[1:] = (s[1:] != s[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[keep], b[keep], s[keep]
+
+
 def _shingle_strings(tok_np: np.ndarray, offsets: np.ndarray, k: int = 3):
     """Per-doc k-token shingles as ' '-joined STRINGS (the md5 oracle
     backend: DuckDB mirrors them as ``tk[i]||' '||tk[i+1]||' '||tk[i+2]``).
@@ -356,122 +385,73 @@ def _truncated_int_to_bool(b: pa.Table) -> pa.Table:
     )
 
 
-def band_bucket_pairs(
-    banded_ds, id_col: str = "doc_id", fanout: int = 8, max_bucket: int = 512,
-    mode: str = "tree",
-):
-    """(band, key, doc_id) rows -> distinct candidate pairs (doc_a < doc_b).
-
-    mode="tree" (default): per-block pyarrow group_by into id-lists,
-    coalesce, merge, then one vectorized pair-expansion pass — avoids
-    Ray's per-group ``map_groups`` dispatch (~0.5 ms per bucket, dominant
-    when most LSH buckets are singletons).  The final merge coalesces to
-    one task, so this mode is for MODERATE bucket-table cardinality
-    (≤ a few million buckets of id-lists after per-block combining).
-
-    mode="groupby": Ray's sort-based ``groupby(["band","key"])`` with a
-    per-bucket pair kernel — per-group dispatch bounds it to workloads
-    whose bucket count is itself bounded (e.g. hyperplane LSH:
-    ``2^planes × tables`` buckets).
-
-    mode="join": distributed self-hash-join on (band, key) — the
-    unbounded-cardinality scale path (10^12-doc MinHash: no single merge
-    task, no per-group dispatch, every stage a partitioned C++ join /
-    groupby).  No ``max_bucket`` cap applies — a hot bucket expands
-    quadratically, so upstream signature design (or a pre-join bucket
-    count filter) must bound bucket sizes.
-
-    Buckets larger than ``max_bucket`` are truncated in tree/groupby
-    modes (pathological all-identical shards) and flagged.
-    """
-    if mode == "join":
-        from ray.data.aggregate import Max as _Max
-
-        def _project(out_col):
-            def fn(b: pa.Table) -> pa.Table:
-                if b.num_rows == 0:
-                    return pa.table(
-                        {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
-                         out_col: pa.array([], pa.int64())}
-                    )
-                return pa.table(
-                    {"band": b.column("band"), "key": b.column("key"),
-                     out_col: b.column(id_col)}
-                )
-
-            return fn
-
-        # materialize the slim (band, key, id) projection ONCE — deriving
-        # both join sides from the lazy upstream would re-execute the
-        # whole signature/banding lineage twice (the dominant cost)
-        slim = banded_ds.map_batches(_project("doc_a"), batch_format="pyarrow").materialize()
-        right = slim.map_batches(
-            lambda b: b.rename_columns(["band", "key", "doc_b"]), batch_format="pyarrow"
+def _bucket_lists_to_rows(b: pa.Table, out_col: str = "doc_a") -> pa.Table:
+    """Explode materialized (band, key, ids) partials back to slim
+    (band, key, id) rows — lets mode="auto" reuse the already-computed
+    partials for the join path instead of re-running the signature
+    lineage."""
+    if b.num_rows == 0:
+        return pa.table(
+            {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
+             out_col: pa.array([], pa.int64())}
         )
-        import ray as _ray
-
-        n_part = max(4, min(int(_ray.cluster_resources().get("CPU", 4)), 32))
-        j = slim.join(right, join_type="inner", num_partitions=n_part, on=("band", "key"))
-
-        def ordered(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return pa.table(
-                    {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                     "truncated": pa.array([], pa.int32())}
-                )
-            da = b.column("doc_a").to_numpy()
-            db = b.column("doc_b").to_numpy()
-            keep = da < db
-            return pa.table(
-                {
-                    "doc_a": pa.array(da[keep], pa.int64()),
-                    "doc_b": pa.array(db[keep], pa.int64()),
-                    "truncated": pa.array(np.zeros(int(keep.sum()), np.int32), pa.int32()),
-                }
-            )
-
-        distinct = (
-            j.map_batches(ordered, batch_format="pyarrow")
-            .groupby(["doc_a", "doc_b"])
-            .aggregate(_Max("truncated", alias_name="truncated"))
-        )
-        return distinct.map_batches(_truncated_int_to_bool, batch_format="pyarrow")
-    if mode == "groupby":
-        from ray.data.aggregate import Max as _Max
-
-        pairs = banded_ds.groupby(["band", "key"]).map_groups(
-            lambda g: bucket_pairs(g, id_col=id_col, max_bucket=max_bucket),
-            batch_format="pandas",
-        )
-
-        def _as_int(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:  # sort aggregates emit schemaless empty partitions
-                return pa.table(
-                    {
-                        "doc_a": pa.array([], pa.int64()),
-                        "doc_b": pa.array([], pa.int64()),
-                        "truncated": pa.array([], pa.int32()),
-                    }
-                )
-            return pa.table(
-                {
-                    "doc_a": b.column("doc_a"),
-                    "doc_b": b.column("doc_b"),
-                    "truncated": b.column("truncated").cast(pa.int32()),
-                }
-            )
-
-        distinct = (
-            pairs.map_batches(_as_int, batch_format="pyarrow")
-            .groupby(["doc_a", "doc_b"])
-            .aggregate(_Max("truncated", alias_name="truncated"))
-        )
-        return distinct.map_batches(_truncated_int_to_bool, batch_format="pyarrow")
-
-    merged = banded_ds.map_batches(
-        lambda b: _bucket_list_partial(b, id_col), batch_format="pyarrow", batch_size=None
+    ids = b.column("ids").combine_chunks()
+    lengths = pc.list_value_length(ids).to_numpy(zero_copy_only=False)
+    idx = pa.array(np.repeat(np.arange(len(b), dtype=np.int64), lengths), pa.int64())
+    return pa.table(
+        {
+            "band": b.column("band").combine_chunks().take(idx),
+            "key": b.column("key").combine_chunks().take(idx),
+            out_col: ids.flatten(),
+        }
     )
-    merged = merged.repartition(fanout).map_batches(
+
+
+def _join_pairs_from_slim(slim):
+    """Distributed self-hash-join pair expansion over a MATERIALIZED slim
+    (band, key, doc_a) dataset — no single merge task, no per-group
+    dispatch; every stage is a partitioned C++ join / groupby."""
+    from ray.data.aggregate import Max as _Max
+
+    right = slim.map_batches(
+        lambda b: b.rename_columns(["band", "key", "doc_b"]), batch_format="pyarrow"
+    )
+    import ray as _ray
+
+    n_part = max(4, min(int(_ray.cluster_resources().get("CPU", 4)), 32))
+    j = slim.join(right, join_type="inner", num_partitions=n_part, on=("band", "key"))
+
+    def ordered(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "truncated": pa.array([], pa.int32())}
+            )
+        da = b.column("doc_a").to_numpy()
+        db = b.column("doc_b").to_numpy()
+        keep = da < db
+        return pa.table(
+            {
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "truncated": pa.array(np.zeros(int(keep.sum()), np.int32), pa.int32()),
+            }
+        )
+
+    distinct = (
+        j.map_batches(ordered, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(_Max("truncated", alias_name="truncated"))
+    )
+    return distinct.map_batches(_truncated_int_to_bool, batch_format="pyarrow")
+
+
+def _tree_pairs_from_partials(partials, fanout: int, max_bucket: int):
+    """Coalesce-and-merge the (band, key, ids) partials down to one block,
+    then one vectorized pair-expansion pass.  The final merge coalesces to
+    a single task — callers must bound bucket-table cardinality (that is
+    what mode="auto" measures)."""
+    merged = partials.repartition(fanout).map_batches(
         _bucket_list_merge, batch_format="pyarrow", batch_size=None
     )
     merged = merged.repartition(1).map_batches(
@@ -517,6 +497,109 @@ def band_bucket_pairs(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def band_bucket_pairs(
+    banded_ds, id_col: str = "doc_id", fanout: int = 8, max_bucket: int = 512,
+    mode: str = "auto", tree_row_limit: int = 2_000_000,
+):
+    """(band, key, doc_id) rows -> distinct candidate pairs (doc_a < doc_b).
+
+    mode="auto" (default): per-block combine into (band, key, id-list)
+    partials, MEASURE the surviving bucket-table cardinality, and pick the
+    tree merge when it fits comfortably in one task (``tree_row_limit``)
+    else the distributed self-join — the mode choice follows the data,
+    not caller knowledge (mirrors ``final_cell_agg(mode="auto")``).  Auto
+    is necessarily EAGER up to the partials; both downstream paths reuse
+    the materialized partials, so the (dominant) signature/banding
+    lineage runs exactly once either way.
+
+    mode="tree": per-block pyarrow group_by into id-lists, coalesce,
+    merge, then one vectorized pair-expansion pass — avoids Ray's
+    per-group ``map_groups`` dispatch (~0.5 ms per bucket, dominant when
+    most LSH buckets are singletons).  The final merge coalesces to one
+    task, so this mode is for MODERATE bucket-table cardinality (≤ a few
+    million buckets of id-lists after per-block combining); keeps the
+    pipeline fully lazy.
+
+    mode="groupby": Ray's sort-based ``groupby(["band","key"])`` with a
+    per-bucket pair kernel — per-group dispatch bounds it to workloads
+    whose bucket count is itself bounded (e.g. hyperplane LSH:
+    ``2^planes × tables`` buckets).
+
+    mode="join": distributed self-hash-join on (band, key) — the
+    unbounded-cardinality scale path (10^12-doc MinHash: no single merge
+    task, no per-group dispatch, every stage a partitioned C++ join /
+    groupby).  No ``max_bucket`` cap applies — a hot bucket expands
+    quadratically, so upstream signature design (or a pre-join bucket
+    count filter) must bound bucket sizes.
+
+    Buckets larger than ``max_bucket`` are truncated in tree/groupby
+    modes (pathological all-identical shards) and flagged.
+    """
+    if mode == "auto":
+        partials = banded_ds.map_batches(
+            lambda b: _bucket_list_partial(b, id_col), batch_format="pyarrow", batch_size=None
+        ).materialize()
+        if partials.count() <= tree_row_limit:
+            return _tree_pairs_from_partials(partials, fanout, max_bucket)
+        slim = partials.map_batches(_bucket_lists_to_rows, batch_format="pyarrow").materialize()
+        return _join_pairs_from_slim(slim)
+    if mode == "join":
+
+        def _project(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
+                     "doc_a": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"band": b.column("band"), "key": b.column("key"), "doc_a": b.column(id_col)}
+            )
+
+        # materialize the slim (band, key, id) projection ONCE — deriving
+        # both join sides from the lazy upstream would re-execute the
+        # whole signature/banding lineage twice (the dominant cost)
+        slim = banded_ds.map_batches(_project, batch_format="pyarrow").materialize()
+        return _join_pairs_from_slim(slim)
+    if mode == "groupby":
+        from ray.data.aggregate import Max as _Max
+
+        pairs = banded_ds.groupby(["band", "key"]).map_groups(
+            lambda g: bucket_pairs(g, id_col=id_col, max_bucket=max_bucket),
+            batch_format="pandas",
+        )
+
+        def _as_int(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:  # sort aggregates emit schemaless empty partitions
+                return pa.table(
+                    {
+                        "doc_a": pa.array([], pa.int64()),
+                        "doc_b": pa.array([], pa.int64()),
+                        "truncated": pa.array([], pa.int32()),
+                    }
+                )
+            return pa.table(
+                {
+                    "doc_a": b.column("doc_a"),
+                    "doc_b": b.column("doc_b"),
+                    "truncated": b.column("truncated").cast(pa.int32()),
+                }
+            )
+
+        distinct = (
+            pairs.map_batches(_as_int, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(_Max("truncated", alias_name="truncated"))
+        )
+        return distinct.map_batches(_truncated_int_to_bool, batch_format="pyarrow")
+    if mode != "tree":
+        raise ValueError(f"unknown band_bucket_pairs mode {mode!r}")
+
+    partials = banded_ds.map_batches(
+        lambda b: _bucket_list_partial(b, id_col), batch_format="pyarrow", batch_size=None
+    )
+    return _tree_pairs_from_partials(partials, fanout, max_bucket)
 
 
 def bucket_pairs(group: pd.DataFrame, id_col: str = "doc_id", max_bucket: int = 512) -> pd.DataFrame:
@@ -601,18 +684,68 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
 
+def simhash_index_tables(blocks: int = 6, max_hamming: int = 3):
+    """Table layout for the permuted multi-index (Manku et al. 2007 §4,
+    public): split 64 bits into ``blocks`` contiguous ranges and build one
+    table per (blocks - max_hamming)-subset of ranges.  Returns
+    ``(bounds, combos)`` where ``bounds`` are the range bit boundaries and
+    ``combos`` the per-table range subsets."""
+    from itertools import combinations
+
+    if blocks <= max_hamming:
+        raise ValueError("need blocks > max_hamming for the pigeonhole guarantee")
+    bounds = np.linspace(0, 64, blocks + 1).astype(np.int64)
+    combos = list(combinations(range(blocks), blocks - max_hamming))
+    return bounds, combos
+
+
+def simhash_index_keys(u: np.ndarray, blocks: int = 6, max_hamming: int = 3):
+    """Permuted-table multi-index keys: yields ``(table_id, key)`` per
+    table, where ``key`` concatenates the bits of that table's block
+    subset.  ``hamming(a, b) <= max_hamming`` flips bits in at most
+    ``max_hamming`` blocks, so at least ``blocks - max_hamming`` blocks
+    are intact and SOME table's subset avoids every flipped block — a, b
+    share that table's key (recall 1 by pigeonhole).  Key width is
+    ``64 - (bits of the excluded blocks)`` (~32 bits for blocks=6, d=3),
+    so distinct-bucket cardinality grows with the corpus instead of
+    capping at 2^16 like the naive 4x16 scheme — the fix for the
+    round-2 scale verdict on ``simhash_pairs``.  Tables = C(blocks,
+    max_hamming) (20 for 6/3); banding volume scales with table count,
+    bucket size shrinks with key width."""
+    bounds, combos = simhash_index_tables(blocks, max_hamming)
+    widths = np.diff(bounds)
+    u = u.astype(np.uint64)
+    block_vals = [
+        (u >> np.uint64(bounds[i])) & np.uint64((1 << int(widths[i])) - 1)
+        for i in range(blocks)
+    ]
+    for table_id, combo in enumerate(combos):
+        key = np.zeros(len(u), np.uint64)
+        shift = 0
+        for bi in combo:
+            key |= block_vals[bi] << np.uint64(shift)
+            shift += int(widths[bi])
+        yield table_id, key.astype(np.int64)
+
+
 def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 512,
                   text_col: str = "text", id_col: str = "doc_id",
-                  hash_impl: str = "fast", num_partitions: int = 8):
-    """SimHash near-dup PAIRS (Manku et al. 2007 multi-index): docs
-    sharing any of the four 16-bit blocks are candidates (hamming <= 3
-    implies at least one identical block — the pigeonhole guarantee), and
-    candidates are verified by exact hamming distance after hash-joining
+                  hash_impl: str = "fast", num_partitions: int = 8,
+                  blocks: int = 6, stats_out: dict | None = None):
+    """SimHash near-dup PAIRS via the permuted multi-index
+    (:func:`simhash_index_keys`): docs sharing any table's block-subset
+    key are candidates (recall 1 for hamming <= ``max_hamming`` by
+    pigeonhole), verified by exact hamming distance after hash-joining
     the (doc_id, simhash) table back onto the pair stream.  Only 8-byte
-    hashes ever shuffle; the candidate tree merge is the same bounded
-    structure as the MinHash path."""
-    # one simhash pass over the corpus; blocks are re-derived from the
-    # 64-bit hash by shifting (the banded branch must not re-run the
+    hashes ever shuffle; candidate-pair expansion goes through
+    ``band_bucket_pairs(mode="auto")`` which picks the tree merge or the
+    distributed self-join by measured bucket cardinality.  ``blocks``
+    tunes the recall/volume trade-off: C(blocks, max_hamming) tables,
+    key width ~``64 * (1 - max_hamming/blocks)`` bits (6/3 -> 20 tables,
+    ~32-bit keys — bucket cardinality grows with the corpus instead of
+    capping at 2^16)."""
+    # one simhash pass over the corpus; table keys are re-derived from
+    # the 64-bit hash by shifting (the banded branch must not re-run the
     # dominant token-hashing upstream)
     sims_slim = ds.map_batches(
         lambda b: simhash_batch(b, text_col=text_col, id_col=id_col, hash_impl=hash_impl)
@@ -624,9 +757,9 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 512,
         ids = b.column(id_col).to_numpy()
         u = b.column("simhash").to_numpy().astype(np.uint64)
         out_band, out_key, out_id = [], [], []
-        for blk in range(4):
-            out_band.append(np.full(len(ids), blk, dtype=np.int32))
-            out_key.append(((u >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64))
+        for table_id, key in simhash_index_keys(u, blocks=blocks, max_hamming=max_hamming):
+            out_band.append(np.full(len(ids), table_id, dtype=np.int32))
+            out_key.append(key)
             out_id.append(ids)
         return pa.table(
             {
@@ -649,6 +782,11 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 512,
         lambda b: pa.table({"t": b.column("truncated").cast(pa.int32())}),
         batch_format="pyarrow",
     ).sum("t")
+    if stats_out is not None:
+        # programmatic truncation contract (the warning below is for
+        # humans): candidate pairs whose bucket hit the max_bucket cap —
+        # nonzero means the pigeonhole recall-1 guarantee was voided
+        stats_out["truncated_candidate_pairs"] = int(trunc or 0)
     if trunc:
         import logging
 
@@ -702,7 +840,8 @@ def hyperplane_keys(vecs: np.ndarray, n_planes: int = 16, seed: int = 11) -> np.
 
 def embed_lsh_pairs(ds, vectors_ref=None, threshold: float = 0.9, n_tables: int = 8,
                     n_planes: int = 12, vec_col: str = "embedding", id_col: str = "vec_id",
-                    mode: str = "bucket", num_partitions: int = 8, max_bucket: int = 512):
+                    mode: str = "bucket", num_partitions: int = 8, max_bucket: int = 512,
+                    include_truncated: bool = False):
     """Distributed LSH-bucketed near-dup pipeline (the scale path).
 
     mode="bucket" (default) — BUCKET-LOCAL verification: the packed
@@ -724,6 +863,12 @@ def embed_lsh_pairs(ds, vectors_ref=None, threshold: float = 0.9, n_tables: int 
 
     Recall < 1 by construction (tested against the brute kernel);
     precision = 1 because of the exact verification step.
+
+    ``include_truncated=True`` adds a ``truncated`` bool column in bucket
+    mode (did the pair's bucket hit the ``max_bucket`` cap — i.e. other
+    pairs from that bucket were DROPPED), mirroring the tree-mode
+    contract of :func:`band_bucket_pairs` so downstream consumers can
+    detect the loss programmatically instead of scraping warning logs.
     """
 
     carry_vec = mode == "bucket"
@@ -775,7 +920,8 @@ def embed_lsh_pairs(ds, vectors_ref=None, threshold: float = 0.9, n_tables: int 
 
         ids = g["doc_id"].to_numpy()
         uniq, first_idx = np.unique(ids, return_index=True)
-        if len(uniq) > max_bucket:  # pathological all-identical shard guard
+        truncated = len(uniq) > max_bucket
+        if truncated:  # pathological all-identical shard guard
             import logging
 
             logging.getLogger("georay.dedup").warning(
@@ -787,7 +933,10 @@ def embed_lsh_pairs(ds, vectors_ref=None, threshold: float = 0.9, n_tables: int 
             uniq = uniq[:max_bucket]
             first_idx = first_idx[:max_bucket]
         if len(uniq) < 2:
-            return pd.DataFrame({"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64)})
+            return pd.DataFrame(
+                {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64),
+                 "truncated": np.empty(0, np.int32)}
+            )
         raw = b"".join(g["vec_bin"].iloc[i] for i in first_idx)
         vecs = np.frombuffer(raw, np.float64).reshape(len(uniq), -1)
         norms = np.linalg.norm(vecs, axis=1)
@@ -795,22 +944,29 @@ def embed_lsh_pairs(ds, vectors_ref=None, threshold: float = 0.9, n_tables: int 
         unit = vecs / norms[:, None]
         sim = unit @ unit.T
         ia, ib = np.nonzero(np.triu(sim >= threshold, k=1))
-        return pd.DataFrame({"doc_a": uniq[ia].astype(np.int64), "doc_b": uniq[ib].astype(np.int64)})
+        return pd.DataFrame(
+            {"doc_a": uniq[ia].astype(np.int64), "doc_b": uniq[ib].astype(np.int64),
+             "truncated": np.full(len(ia), int(truncated), np.int32)}
+        )
 
     pairs = banded.groupby(["band", "key"]).map_groups(verify_bucket, batch_format="pandas")
 
     def _typed_pairs(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table(
-                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
-            )
-        return pa.table({"vec_a": b.column("doc_a"), "vec_b": b.column("doc_b")})
+            out = {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+            if include_truncated:
+                out["truncated"] = pa.array([], pa.bool_())
+            return pa.table(out)
+        out = {"vec_a": b.column("doc_a"), "vec_b": b.column("doc_b")}
+        if include_truncated:
+            out["truncated"] = pc.cast(pc.greater(b.column("truncated"), 0), pa.bool_())
+        return pa.table(out)
 
-    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Max as _MaxAgg
 
     distinct = (
         pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(_Count(alias_name="n"))
+        .aggregate(_MaxAgg("truncated", alias_name="truncated"))
         .map_batches(_typed_pairs, batch_format="pyarrow")
     )
     return distinct
@@ -904,11 +1060,17 @@ def jaccard_verify_pairs(pairs_ds, docs_ds, k: int = 3, threshold_num: int = 1,
     """Exact k-shingle Jaccard verification of candidate pairs: keep
     (doc_a, doc_b) iff ``|Sa ∩ Sb| * den >= |Sa ∪ Sb| * num`` — i.e.
     J >= num/den decided in INTEGER arithmetic (float-free, so a DuckDB
-    mirror computes the identical predicate).  Shingles are ' '-joined
-    k-token windows (tokens contain no whitespace, so the join is
-    injective); docs shorter than k tokens use their raw token set; two
-    empty shingle sets count as a match (J := 1, reference semantics of
-    :func:`jaccard_ngrams`).
+    mirror computes the identical predicate).  Docs shorter than k tokens
+    use their raw token set; two empty shingle sets count as a match
+    (J := 1, reference semantics of :func:`jaccard_ngrams`).
+
+    Scoring is fully vectorized: both sides' shingle sets are computed by
+    the batched rolling-hash kernels (:func:`_shingle_hashes2`, 128-bit
+    shingle identity so hash collisions are ~2^-128 — decision-identical
+    to string sets), per-doc set dedup and pairwise intersection counts
+    are lexsort + adjacent-compare + bincount over the whole batch.  No
+    per-pair Python loop (the round-2 version looped :func:`set` ops per
+    candidate).
 
     Texts are fetched by distributed hash join of the candidate ids
     against the documents dataset — the corpus is never broadcast.
@@ -937,21 +1099,26 @@ def jaccard_verify_pairs(pairs_ds, docs_ds, k: int = 3, threshold_num: int = 1,
             return pa.table(
                 {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
             )
-        ta = batch.column("text_a").to_pylist()
-        tb = batch.column(text_col).to_pylist()
-
-        def shingles(s):
-            t = (s or "").split()
-            if len(t) < k:
-                return set(t)
-            return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
-
-        keep = np.empty(len(ta), bool)
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sa, sb = shingles(x), shingles(y)
-            inter = len(sa & sb)
-            union = len(sa | sb)
-            keep[i] = inter * threshold_den >= union * threshold_num
+        n = batch.num_rows
+        ha1, ha2, oa = _shingle_hashes2(batch.column("text_a").combine_chunks(), k)
+        hb1, hb2, ob = _shingle_hashes2(batch.column(text_col).combine_chunks(), k)
+        rng = np.arange(n, dtype=np.int64)
+        ua1, ua2, seg_a = _segment_unique2(ha1, ha2, np.repeat(rng, np.diff(oa)))
+        ub1, ub2, seg_b = _segment_unique2(hb1, hb2, np.repeat(rng, np.diff(ob)))
+        ca = np.bincount(seg_a, minlength=n)
+        cb = np.bincount(seg_b, minlength=n)
+        # |Sa ∩ Sb| per pair: values unique within each side, so a value
+        # seen twice in the pair's combined stream is in both sets
+        v1 = np.concatenate([ua1, ub1])
+        v2 = np.concatenate([ua2, ub2])
+        s = np.concatenate([seg_a, seg_b])
+        order = np.lexsort((v2, v1, s))
+        v1, v2, s = v1[order], v2[order], s[order]
+        dup = (s[1:] == s[:-1]) & (v1[1:] == v1[:-1]) & (v2[1:] == v2[:-1])
+        inter = np.bincount(s[1:][dup], minlength=n)
+        union = ca + cb - inter
+        # union == 0 (both sets empty) -> 0 >= 0 -> match (J := 1)
+        keep = inter * threshold_den >= union * threshold_num
         da = batch.column("doc_a").to_numpy()
         db = batch.column("doc_b").to_numpy()
         return pa.table({"doc_a": pa.array(da[keep]), "doc_b": pa.array(db[keep])})
@@ -959,21 +1126,38 @@ def jaccard_verify_pairs(pairs_ds, docs_ds, k: int = 3, threshold_num: int = 1,
     return j2.map_batches(score, batch_format="pyarrow")
 
 
-def connected_components(pairs_ds, num_partitions: int = 8, max_iter: int = 16):
+def connected_components(pairs_ds, num_partitions: int | None = None, max_iter: int = 32):
     """Candidate pairs -> (doc_id, survivor) per connected component: the
     dedup-resolution step after candidate generation (the survivor is the
     component-minimum id; every doc appearing in a pair gets a row).
 
-    Distributed min-label propagation: each round unions the label table
-    with the edge table keyed on the target node and runs a sort-based
-    ``groupby(node).map_groups`` that broadcasts the node's current label
-    to its neighbours, then takes the per-node minimum — nothing funnels
-    through a single task, and the per-group dispatch is bounded by the
-    number of docs that appear in candidate pairs (a tiny fraction of the
-    corpus).  Near-dup clusters have tiny diameter, so the loop converges
-    in a couple of rounds (checked via the monotone label sum, capped at
-    ``max_iter``).
+    Distributed min-label propagation with SHORTCUTTING.  Per round:
+
+    1. Delivery: union three message streams keyed by node — edge rows
+       ``(key=u, dest=v)`` ("send u's label to v"), self rows
+       ``(key=node, label=L)`` (the current label table), and shortcut
+       rows ``(key=L[n], dest=n)`` ("send my label's label to me" — the
+       pointer-doubling step, so chains converge in O(log diameter)
+       rounds instead of one hop per round).  Messages are
+       hash-partitioned on ``hash(key) % P`` and each partition runs ONE
+       vectorized multi-node kernel (pandas C groupby + gather) — no
+       per-node Python dispatch (the round-2 ``groupby(node).map_groups``
+       paid ~0.5 ms per node per round).
+    2. Reduce: ``groupby(node).aggregate(Min)`` — Ray's sort-based
+       shuffle with a block-vectorized aggregate, again no per-group
+       Python.
+
+    Both shuffles move only (int64, int64) rows; per-round volume is
+    constant (2|E| + 2|V| delivery rows).  Labels only originate from
+    node ids inside the component (min over members seen so far), so the
+    shortcut edges never cross components and the fixpoint is the exact
+    component minimum.  Convergence is detected via the monotone
+    non-increasing label sum over the deduped table; if ``max_iter``
+    rounds pass without a fixpoint the function RAISES rather than
+    returning non-minimal survivors (with shortcutting, 32 rounds covers
+    component diameters ~2^32 — exhaustion means something is wrong).
     """
+    import ray as _ray
     import ray.data as _rd
     from ray.data.aggregate import Min as _Min, Sum as _Sum
 
@@ -983,6 +1167,15 @@ def connected_components(pairs_ds, num_partitions: int = 8, max_iter: int = 16):
     pairs_ds = pairs_ds.materialize()
     if pairs_ds.count() == 0:
         return _rd.from_arrow(empty)
+    if num_partitions is None:
+        num_partitions = max(4, min(int(_ray.cluster_resources().get("CPU", 4)), 64))
+    P = np.uint64(num_partitions)
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _part_of(key: np.ndarray) -> np.ndarray:
+        h = key.astype(np.uint64) * MIX
+        h ^= h >> np.uint64(29)
+        return (h % P).astype(np.int32)
 
     def both_dirs(b: pa.Table) -> pa.Table:
         da = b.column("doc_a").to_numpy()
@@ -996,12 +1189,52 @@ def connected_components(pairs_ds, num_partitions: int = 8, max_iter: int = 16):
 
     edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
-    def init_labels(b: pa.Table) -> pa.Table:
+    def edge_msgs(b: pa.Table) -> pa.Table:
+        # "node v asks for u's label": key=u, dest=v, no label payload
         u = b.column("u").to_numpy()
-        v = b.column("v").to_numpy()
         return pa.table(
-            {"node": pa.array(u, pa.int64()),
-             "label": pa.array(np.minimum(u, v), pa.int64())}
+            {
+                "key": b.column("u"),
+                "dest": b.column("v"),
+                "label": pa.array(np.full(len(u), -1, np.int64), pa.int64()),
+                "part": pa.array(_part_of(u)),
+            }
+        )
+
+    def label_msgs(b: pa.Table) -> pa.Table:
+        # current label table, keyed by node; plus the shortcut request
+        # (key=label, dest=node) for every row whose label differs from
+        # the node (pointer-doubling: node learns L[L[node]] next round)
+        node = b.column("node").to_numpy()
+        label = b.column("label").to_numpy()
+        sc = label != node
+        key = np.concatenate([node, label[sc]])
+        dest = np.concatenate([np.full(len(node), -1, np.int64), node[sc]])
+        lab = np.concatenate([label, np.full(int(sc.sum()), -1, np.int64)])
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "dest": pa.array(dest, pa.int64()),
+                "label": pa.array(lab, pa.int64()),
+                "part": pa.array(_part_of(key)),
+            }
+        )
+
+    def deliver(g):
+        # one hash partition: vectorized per-key min label + gather to dests
+        g = g.drop(columns=["part"])
+        is_lab = (g["dest"].to_numpy() < 0)
+        lab = g[is_lab]
+        L = lab.groupby("key")["label"].min()
+        dst = g[~is_lab]
+        lk = L.reindex(dst["key"]).to_numpy()
+        if lk.dtype.kind == "f":  # reindex produced NaNs: a key with no
+            miss = np.isnan(lk)   # label row (defensive) labels itself
+            lk[miss] = dst["key"].to_numpy()[miss]
+        nodes = np.concatenate([dst["dest"].to_numpy(), L.index.to_numpy()])
+        labels_out = np.concatenate([lk.astype(np.int64), L.to_numpy()])
+        return pd.DataFrame(
+            {"node": nodes.astype(np.int64), "label": labels_out.astype(np.int64)}
         )
 
     def _typed(b: pa.Table) -> pa.Table:
@@ -1013,61 +1246,48 @@ def connected_components(pairs_ds, num_partitions: int = 8, max_iter: int = 16):
             )
         return b.select(["node", "label"])
 
-    # labels are a MULTISET of (node, label) rows between rounds: per-node
-    # minimisation happens inside the next round's propagate (and once at
-    # the end), which saves one sort shuffle per round.  Row count per
-    # round is constant (one per edge endpoint + one per node), so the
-    # multiset never grows.
-    labels = edges.map_batches(init_labels, batch_format="pyarrow").materialize()
-    def edge_msgs(b: pa.Table) -> pa.Table:
-        # edge (u, v) -> message row keyed by v carrying neighbour u
+    def init_labels(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy()
+        v = b.column("v").to_numpy()
         return pa.table(
-            {
-                "key": b.column("v"),
-                "nbr": b.column("u"),
-                "label": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
-            }
+            {"node": pa.array(u, pa.int64()),
+             "label": pa.array(np.minimum(u, v), pa.int64())}
         )
 
-    def label_msgs(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "key": b.column("node"),
-                "nbr": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
-                "label": b.column("label"),
-            }
-        )
-
-    def propagate(g):
-        import pandas as pd
-
-        lab = g.loc[g["nbr"] < 0, "label"]
-        key = int(g["key"].iloc[0])
-        L = int(lab.min()) if len(lab) else key
-        nbrs = g.loc[g["nbr"] >= 0, "nbr"].to_numpy()
-        nodes = np.concatenate([nbrs, [key]])
-        return pd.DataFrame({"node": nodes.astype(np.int64), "label": np.full(len(nodes), L, np.int64)})
-
-    prev = None  # first round reshapes the multiset; compare like-for-like only
+    # one row per node, label = min over incident edges (saves a round)
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(_Min("label", alias_name="label"))
+        .map_batches(_typed, batch_format="pyarrow")
+        .materialize()
+    )
+    prev = labels.aggregate(_Sum("label"))["sum(label)"]
     for _ in range(max_iter):
         msgs = edges.map_batches(edge_msgs, batch_format="pyarrow").union(
             labels.map_batches(label_msgs, batch_format="pyarrow")
         )
         labels = (
-            msgs.groupby("key").map_groups(propagate, batch_format="pandas").materialize()
+            msgs.groupby("part")
+            .map_groups(deliver, batch_format="pandas")
+            .groupby("node")
+            .aggregate(_Min("label", alias_name="label"))
+            .map_batches(_typed, batch_format="pyarrow")
+            .materialize()
         )
-        # monotone non-increasing over the constant-size multiset: equal
-        # sums mean every label is at its fixpoint
+        # labels are per-node minima: the sum is monotone non-increasing
+        # and equal sums mean every label is at its fixpoint
         cur = labels.aggregate(_Sum("label"))["sum(label)"]
-        if prev is not None and cur == prev:
+        if cur == prev:
             break
         prev = cur
-    final = (
-        labels.groupby("node")
-        .aggregate(_Min("label", alias_name="label"))
-        .map_batches(_typed, batch_format="pyarrow")
-    )
-    return final.map_batches(
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "with shortcutting this covers diameters ~2^{max_iter}; refusing "
+            "to return non-minimal survivors (raise max_iter to override)"
+        )
+    return labels.map_batches(
         lambda b: pa.table({"doc_id": b.column("node"), "survivor": b.column("label")}),
         batch_format="pyarrow",
     )

@@ -211,6 +211,107 @@ class TestConnectedComponents:
         out = connected_components(ray.data.from_arrow(empty)).to_pandas()
         assert len(out) == 0
 
+    def test_long_chain_converges_with_shortcutting(self, ray_session):
+        """A 200-node chain (diameter 199) must converge well inside
+        max_iter=10 — one-hop-per-round propagation could not (the round-2
+        cap silently returned non-minimal labels on diameter > max_iter);
+        the label-shortcut (pointer-doubling) edges give O(log d) rounds."""
+        import pyarrow as pa
+        import ray.data
+
+        from georay.dedup import connected_components
+
+        n = 200
+        pairs = pa.table({
+            "doc_a": pa.array(np.arange(n - 1), pa.int64()),
+            "doc_b": pa.array(np.arange(1, n), pa.int64()),
+        })
+        out = connected_components(ray.data.from_arrow(pairs), max_iter=10).to_pandas()
+        assert len(out) == n
+        assert (out.survivor == 0).all()
+
+    def test_nonconvergence_raises(self, ray_session):
+        """max_iter exhaustion must raise, not silently return non-minimal
+        survivors (ADVICE r2)."""
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from georay.dedup import connected_components
+
+        pairs = pa.table({
+            "doc_a": pa.array([1, 2], pa.int64()),
+            "doc_b": pa.array([2, 3], pa.int64()),
+        })
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(ray.data.from_arrow(pairs), max_iter=0)
+
+
+class TestSimhashMultiIndex:
+    def test_pigeonhole_recall_one(self):
+        """Any <=3-bit flip of a 64-bit hash must share at least one
+        table key with the original — the multi-index recall guarantee."""
+        from georay.dedup import simhash_index_keys
+
+        rng = np.random.default_rng(9)
+        base = rng.integers(0, 1 << 63, size=50, dtype=np.uint64)
+        flipped = base.copy()
+        for i in range(len(base)):
+            bits = rng.choice(64, size=rng.integers(1, 4), replace=False)
+            for b in bits:
+                flipped[i] ^= np.uint64(1) << np.uint64(b)
+        keys_a = dict(simhash_index_keys(base))
+        keys_b = dict(simhash_index_keys(flipped))
+        shared = np.zeros(len(base), bool)
+        for t in keys_a:
+            shared |= keys_a[t] == keys_b[t]
+        assert shared.all()
+
+    def test_key_width_exceeds_16_bits(self):
+        """The 6/3 index keys span ~32 bits — bucket cardinality must not
+        cap at 2^16 like the round-2 4x16 scheme."""
+        from georay.dedup import simhash_index_keys
+
+        rng = np.random.default_rng(10)
+        u = rng.integers(0, np.iinfo(np.uint64).max, size=5000, dtype=np.uint64)
+        max_key = max(int(k.max()) for _, k in simhash_index_keys(u))
+        assert max_key > (1 << 16)
+
+    def test_deterministic(self):
+        from georay.dedup import simhash_index_keys
+
+        u = np.array([12345678901234567, 98765432109876543], dtype=np.uint64)
+        a = [(t, k.tolist()) for t, k in simhash_index_keys(u)]
+        b = [(t, k.tolist()) for t, k in simhash_index_keys(u.copy())]
+        assert a == b
+        assert len(a) == 20  # C(6, 3) tables
+
+
+class TestJaccardVectorized:
+    def test_matches_scalar_kernel(self, ray_session):
+        """The vectorized integer-Jaccard verify must agree with the
+        scalar jaccard_ngrams reference on every candidate pair."""
+        import pyarrow as pa
+        import ray.data
+
+        from georay.dedup import jaccard_ngrams, jaccard_verify_pairs
+
+        texts = [DOC, NEAR, FAR, "", "one two", DOC + " extra tail words here",
+                 "one two", "a b c d e f g h"]
+        ids = list(range(len(texts)))
+        docs = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+        cand = [(a, b) for a in ids for b in ids if a < b]
+        pairs = pa.table({"doc_a": pa.array([a for a, _ in cand], pa.int64()),
+                          "doc_b": pa.array([b for _, b in cand], pa.int64())})
+        out = jaccard_verify_pairs(
+            ray.data.from_arrow(pairs), ray.data.from_arrow(docs),
+            k=3, threshold_num=1, threshold_den=2,
+        ).to_pandas()
+        got = set(zip(out.doc_a, out.doc_b))
+        want = {(a, b) for a, b in cand if jaccard_ngrams(texts[a], texts[b]) >= 0.5}
+        assert got == want
+
 
 class TestTextKeyIndependence:
     def test_two_keys_differ(self):
@@ -243,9 +344,30 @@ class TestBandBucketModes:
             "doc_id": pa.array(rng.integers(0, 60, n), pa.int64()),
         })
         results = {}
-        for mode in ("tree", "groupby", "join"):
+        for mode in ("tree", "groupby", "join", "auto"):
             ds = ray.data.from_arrow(t)
             out = band_bucket_pairs(ds, mode=mode).to_pandas()
             results[mode] = set(zip(out.doc_a, out.doc_b))
-        assert results["tree"] == results["groupby"] == results["join"]
+        assert results["tree"] == results["groupby"] == results["join"] == results["auto"]
         assert len(results["tree"]) > 0
+
+    def test_auto_routes_to_join_above_limit(self, ray_session):
+        """auto with a tiny tree_row_limit must take the join path and
+        still produce the same pair set as tree."""
+        import pyarrow as pa
+        import ray.data
+
+        from georay.dedup import band_bucket_pairs
+
+        rng = np.random.default_rng(3)
+        n = 300
+        t = pa.table({
+            "band": pa.array(rng.integers(0, 4, n), pa.int32()),
+            "key": pa.array(rng.integers(0, 40, n), pa.int64()),
+            "doc_id": pa.array(rng.integers(0, 80, n), pa.int64()),
+        })
+        tree = band_bucket_pairs(ray.data.from_arrow(t), mode="tree").to_pandas()
+        auto = band_bucket_pairs(
+            ray.data.from_arrow(t), mode="auto", tree_row_limit=1
+        ).to_pandas()
+        assert set(zip(auto.doc_a, auto.doc_b)) == set(zip(tree.doc_a, tree.doc_b))
