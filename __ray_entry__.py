@@ -39,11 +39,11 @@ from georay.pipelines.polygons import (
 from georay.stages.join import KNNJoinActor, SpatialJoinActor
 
 def _cents(v: np.ndarray) -> np.ndarray:
-    """Money -> integer cents with HALF-AWAY rounding via floor(x*100+0.5),
-    matching DuckDB's round() exactly for the non-negative values in these
-    tables (np.round is half-to-even — a latent 1-cent divergence whenever
-    a value lands on an exact .5 of a cent)."""
-    return np.floor(v * 100 + 0.5).astype(np.int64)
+    """Money -> integer cents with HALF-AWAY-FROM-ZERO rounding, matching
+    DuckDB's round() exactly for either sign (np.round is half-to-even —
+    a latent 1-cent divergence whenever a value lands on an exact .5 of a
+    cent; plain floor(x*100+0.5) is half-UP, wrong for negative values)."""
+    return (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(np.int64)
 
 
 SF001 = "/root/testdata/sf0.001"
@@ -859,8 +859,11 @@ def _q_geo_explode(sf_dir: str):
     """Multi-geometry pages: every coordinate pair, one row per match
     (flat_map/explode path; every 7th geo page carries a second pair)."""
     from georay.extract import extract_all_geo_batch
+    from georay.registry import with_registry
 
-    return read_pages(sf_dir).map_batches(extract_all_geo_batch, batch_format="pyarrow")
+    return read_pages(sf_dir).map_batches(
+        with_registry(extract_all_geo_batch), batch_format="pyarrow"
+    )
 
 
 def _q_distinct_segments(sf_dir: str):
@@ -969,16 +972,13 @@ def _q_events_hourly(sf_dir: str):
 
 
 def _q_events_window(sf_dir: str):
-    """Windowed top-1: highest-value event per user (groupby.map_groups)."""
-    import pandas as pd
+    """Windowed top-1: highest-value event per user, hash-partitioned on
+    user with ONE vectorized multi-user kernel per partition (the same
+    shape as sessionize — no per-user map_groups dispatch)."""
+    from georay.pipelines.events import window_top1
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"])
-
-    def top1(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "ts", "event_id"], ascending=[False, True, True], kind="stable")
-        return g.head(1)[["user_id", "event_id"]]
-
-    return ds.groupby("user_id").map_groups(top1, batch_format="pandas")
+    return window_top1(ds)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

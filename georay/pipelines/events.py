@@ -107,39 +107,68 @@ def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"event_id": ev_id, "last_purchase": last})
 
 
-def sessionize(ds, gap_us: int = GAP_US, num_partitions: int = 32):
+def window_top1_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """ALL users of one hash partition -> highest-value event per user
+    (ties: earliest ts, then lowest event_id).  One vectorized
+    sort + drop_duplicates over the whole partition — the per-user
+    ``map_groups`` this replaces paid Ray's ~0.5 ms dispatch per user."""
+    if len(g) == 0:
+        return pd.DataFrame(
+            {"user_id": np.empty(0, np.int64), "event_id": np.empty(0, np.int64)}
+        )
+    g = g.sort_values(
+        ["user_id", "value", "ts", "event_id"],
+        ascending=[True, False, True, True],
+        kind="stable",
+    )
+    return g.drop_duplicates("user_id", keep="first")[["user_id", "event_id"]]
+
+
+def default_partitions(num_partitions: int | None = None) -> int:
+    """Cluster-sized partition count (a fixed constant starves a big
+    cluster; pattern: `__ray_entry__._q_segment_revenue`)."""
+    if num_partitions is not None:
+        return num_partitions
+    import ray
+
+    return max(4, min(int(ray.cluster_resources().get("CPU", 4)) * 2, 256))
+
+
+def _by_user_partition(ds, kernel, num_partitions: int | None):
+    """Hash-partition on user_id, one vectorized multi-user kernel per
+    partition."""
+    import pyarrow as pa
+
+    p = default_partitions(num_partitions)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "part", pa.array(_partition_of(b.column("user_id").to_numpy(), p))
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: kernel(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def sessionize(ds, gap_us: int = GAP_US, num_partitions: int | None = None):
     """Dataset of events -> per-user-session aggregate rows."""
-    import pyarrow as pa
-
-    def add_part(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "part", pa.array(_partition_of(b.column("user_id").to_numpy(), num_partitions))
-        )
-
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: sessionize_partition(g.drop(columns=["part"]), gap_us),
-            batch_format="pandas",
-        )
+    return _by_user_partition(
+        ds, lambda g: sessionize_partition(g, gap_us), num_partitions
     )
 
 
-def asof_purchase(ds, num_partitions: int = 32):
+def asof_purchase(ds, num_partitions: int | None = None):
     """Dataset of events -> (event_id, last_purchase) as-of join rows."""
-    import pyarrow as pa
+    return _by_user_partition(ds, asof_partition, num_partitions)
 
-    def add_part(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "part", pa.array(_partition_of(b.column("user_id").to_numpy(), num_partitions))
-        )
 
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            lambda g: asof_partition(g.drop(columns=["part"])),
-            batch_format="pandas",
-        )
-    )
+def window_top1(ds, num_partitions: int | None = None):
+    """Dataset of events -> (user_id, event_id) of each user's
+    highest-value event (windowed top-1 custom op)."""
+    return _by_user_partition(ds, window_top1_partition, num_partitions)

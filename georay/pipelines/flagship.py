@@ -25,9 +25,15 @@ def geo_dataset(sf_dir: str, res: int = 7, override_num_blocks: int | None = Non
     ``text`` is dropped at the extraction edge: the spatial path only
     carries (url, warc_ts, lang, doc_id, lon, lat, epsg, cell).
     """
+    from georay.registry import with_registry
+
     ds = read_pages(sf_dir, override_num_blocks=override_num_blocks)
+    # with_registry: user-registered geometry kernels (SURVEY §2.10) are
+    # snapshotted on the driver and replayed inside each worker — module
+    # state does not travel to Ray workers by itself (no-op when empty)
     ds = ds.map_batches(
-        lambda b: extract_geo_batch(b, keep_text=False), batch_format="pyarrow"
+        with_registry(lambda b: extract_geo_batch(b, keep_text=False)),
+        batch_format="pyarrow",
     )
     ds = ds.map_batches(filter_has_geo, batch_format="pyarrow")
     ds = ds.map_batches(Reproject(4326), batch_format="pyarrow")

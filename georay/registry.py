@@ -86,6 +86,51 @@ def unregister(name: str) -> None:
         curves.MIN_SEGMENT_POSITIONS.pop(name, None)
 
 
+def snapshot() -> dict:
+    """Picklable snapshot of every user registration, for replay inside
+    Ray workers.  Workers import georay FRESH in separate processes, so
+    kernels registered on the driver are otherwise absent when the
+    geometry factories run inside distributed stages (ADVICE r2).
+    Kernels travel by cloudpickle (Ray's serializer), so closures are
+    fine; kernels must not capture unpicklable state."""
+    from georay.geom import curves
+
+    return {
+        "segment": dict(SEGMENT_KERNELS),
+        "curve": dict(CURVE_KIND_KERNELS),
+        "patch": dict(PATCH_KERNELS),
+        "min_positions": {k: curves.MIN_SEGMENT_POSITIONS[k] for k in SEGMENT_KERNELS},
+    }
+
+
+def restore(snap: dict) -> None:
+    """Replay a :func:`snapshot` into this process's registry
+    (idempotent; called by :func:`with_registry` wrappers inside
+    workers)."""
+    from georay.geom import curves
+
+    SEGMENT_KERNELS.update(snap["segment"])
+    CURVE_KIND_KERNELS.update(snap["curve"])
+    PATCH_KERNELS.update(snap["patch"])
+    curves.MIN_SEGMENT_POSITIONS.update(snap["min_positions"])
+
+
+def with_registry(fn):
+    """Wrap a ``map_batches`` callable so driver-side registrations are
+    replayed in the worker before each batch (two dict updates — cheap
+    relative to any batch's work).  No-op passthrough when nothing is
+    registered, so built-in pipelines pay nothing."""
+    snap = snapshot()
+    if not (snap["segment"] or snap["curve"] or snap["patch"]):
+        return fn
+
+    def wrapped(batch, *args, **kwargs):
+        restore(snap)
+        return fn(batch, *args, **kwargs)
+
+    return wrapped
+
+
 def _coerce_coords(out) -> np.ndarray:
     arr = np.asarray(out, dtype=np.float64)
     if arr.ndim != 2 or arr.shape[1] != 2:

@@ -56,6 +56,57 @@ class TestAsofStrictness:
         assert len(out) == 0
 
 
+class TestWindowTop1Partition:
+    def _df(self, rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "event_id": [r[1] for r in rows],
+                "ts": pd.to_datetime([r[2] for r in rows], unit="s").astype("datetime64[us]"),
+                "value": [r[3] for r in rows],
+            }
+        )
+
+    def test_top1_per_user_with_tiebreaks(self):
+        from georay.pipelines.events import window_top1_partition
+
+        g = self._df([
+            (1, 10, 100, 5.0),
+            (1, 11, 50, 9.0),    # user 1 max value
+            (2, 20, 10, 3.0),
+            (2, 21, 5, 3.0),     # tie on value: earlier ts wins
+            (3, 30, 1, 1.0),
+            (3, 31, 1, 1.0),     # tie on value AND ts: lower event_id wins
+        ])
+        out = window_top1_partition(g).set_index("user_id")["event_id"]
+        assert out[1] == 11
+        assert out[2] == 21
+        assert out[3] == 30
+
+    def test_empty(self):
+        from georay.pipelines.events import window_top1_partition
+
+        out = window_top1_partition(self._df([]))
+        assert len(out) == 0
+
+
+class TestCentsRounding:
+    def test_half_away_from_zero_both_signs(self):
+        import importlib.util, sys
+        spec = importlib.util.spec_from_file_location("_entry", "/root/repo/__ray_entry__.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        # 0.125 is exact in binary: 12.5 cents must round AWAY from zero
+        # on both sides (np.round's half-to-even would give 12; the old
+        # floor(x*100+0.5) gave -12 for the negative — ADVICE r2)
+        v = np.array([0.125, -0.125, 1.0, -1.0, 0.0])
+        assert mod._cents(v).tolist() == [13, -13, 100, -100, 0]
+        # sign symmetry over arbitrary values
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 100, 1000)
+        assert (mod._cents(x) == -mod._cents(-x)).all()
+
+
 class TestSessionizePartition:
     def test_gap_splits_and_user_resets(self):
         gap_s = GAP_US // 1_000_000

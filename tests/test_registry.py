@@ -84,6 +84,55 @@ class TestPatchExtension:
         np.testing.assert_allclose(out[0], out[-1])
 
 
+class TestWorkerPropagation:
+    def test_registered_kernel_runs_inside_ray_stage(self, ray_session):
+        """Regression (ADVICE r2): the registry is driver-process module
+        state; Ray workers import georay fresh, so a kernel registered on
+        the driver must be replayed into the worker via with_registry —
+        without it the distributed stage raises unknown-kind ValueError."""
+        import pyarrow as pa
+        import ray.data
+
+        def spiral(geom, epsg, latlon):
+            t = np.linspace(0.0, 1.0, int(geom["n"]))
+            return np.column_stack([t, t * t])
+
+        registry.register_curve_kind("Spiral", spiral)
+
+        def batch_fn(b: pa.Table) -> pa.Table:
+            ns = b.column("n").to_pylist()
+            counts = [
+                len(curve_coordinate_list({"kind": "Spiral", "epsg": 4326, "n": n}))
+                for n in ns
+            ]
+            return pa.table({"n": b.column("n"), "n_coords": pa.array(counts, pa.int64())})
+
+        ds = ray.data.from_arrow(pa.table({"n": pa.array([3, 5], pa.int64())}))
+        out = (
+            ds.map_batches(registry.with_registry(batch_fn), batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("n")
+        )
+        assert out.n_coords.tolist() == [3, 5]
+
+    def test_with_registry_is_passthrough_when_empty(self):
+        fn = lambda b: b
+        assert registry.with_registry(fn) is fn
+
+    def test_snapshot_restore_roundtrip_includes_min_positions(self):
+        from georay.geom import curves
+
+        registry.register_segment_type(
+            "Bezierish", lambda seg, e, l: np.asarray(seg["coords"], float), min_positions=4
+        )
+        snap = registry.snapshot()
+        registry.unregister("Bezierish")
+        assert "Bezierish" not in curves.MIN_SEGMENT_POSITIONS
+        registry.restore(snap)
+        assert curves.MIN_SEGMENT_POSITIONS["Bezierish"] == 4
+        assert "Bezierish" in registry.SEGMENT_KERNELS
+
+
 class TestBuiltinShadowRejected:
     def test_segment_builtin_rejected(self):
         with pytest.raises(ValueError):
