@@ -339,6 +339,26 @@ def _cases() -> list[tuple[str, Callable[[], Value], Value]]:
     C.append(("c13_poly_interior_count",
               lambda: float(len(surface_interior_boundaries(POLYGON_WITH_HOLE)[0])), 5.0))
 
+    # ---- C-11 degenerate patch contacts: vertex-on-edge and collinear
+    # partial overlap (JTS unions these robustly,
+    # SurfaceCoordinateListFactory.java:196-197; the r2 walk raised).
+    # Expected areas computed by hand via inclusion-exclusion; coords are
+    # exact binary fractions so the shoelace sums are exact in f64.
+    from georay.geom.union import _signed_area as _usa, union_overlapping_rings as _uor
+
+    _SQ = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)
+    _TRI_TOUCH = np.array([[2, 1], [4, 0], [4, 2], [2, 1]], float)
+    _HALF_EDGE = np.array([[2, 1], [4, 1], [4, 3], [2, 3], [2, 1]], float)
+    _TRI_CROSS = np.array([[1, 3], [2, 1], [3, 3], [1, 3]], float)
+    C.append(("c11_union_point_touch_area",
+              lambda: float(_usa(_uor(_SQ, _TRI_TOUCH))), 6.0))
+    C.append(("c11_union_collinear_half_edge_area",
+              lambda: float(_usa(_uor(_SQ, _HALF_EDGE))), 8.0))
+    C.append(("c11_union_collinear_half_edge_count",
+              lambda: float(len(_uor(_SQ, _HALF_EDGE))), 9.0))
+    C.append(("c11_union_vertex_on_edge_area",
+              lambda: float(_usa(_uor(_SQ, _TRI_CROSS))), 5.75))
+
     # ---- A-06 / A-07 envelope serialization (Extents.java:191-223,364-382)
     env_dec = Envelope(49.1234, -123.4567, 50.5599, -122.8801, 4326)
 

@@ -199,30 +199,7 @@ def merge_patch_rings(rings: list[np.ndarray]) -> np.ndarray:
     if not rings:
         raise ValueError("Surface has no patches (empty exterior)")
     if len(rings) > 1 and _any_proper_crossing(rings):
-        from georay.geom.union import union_overlapping_rings
-
-        # worklist fold: always union a ring that actually meets the
-        # accumulator (input order must not matter — a pair of mutually
-        # disjoint patches bridged by a later one is still one polygon)
-        acc = rings[0]
-        remaining = list(rings[1:])
-        while remaining:
-            progressed = False
-            for i, r in enumerate(remaining):
-                try:
-                    acc = union_overlapping_rings(acc, r)
-                except ValueError as ex:
-                    if "disjoint" in str(ex):
-                        continue
-                    raise
-                remaining.pop(i)
-                progressed = True
-                break
-            if not progressed:
-                raise ValueError(
-                    "patch complex does not union into a single connected polygon"
-                )
-        return acc
+        return _union_fold(rings)
     if len(rings) == 1:
         r = rings[0]
         if not np.array_equal(r[0], r[-1]):
@@ -251,15 +228,10 @@ def merge_patch_rings(rings: list[np.ndarray]) -> np.ndarray:
     nxt = {}
     for a, b in remaining:
         if a in nxt:
-            # a vertex with two outgoing boundary edges means the union is
-            # a figure-8 / multi-ring complex this edge-walk cannot
-            # represent as one exterior ring — fail loudly rather than
-            # silently dropping a lobe
-            raise ValueError(
-                "Patch union boundary revisits a vertex (non-simple exterior); "
-                "merge_patch_rings only supports edge-adjacent patch complexes "
-                "with a simple outer ring"
-            )
+            # a vertex with two outgoing boundary edges: not an
+            # edge-adjacent complex — degenerate contact (vertex-on-edge,
+            # partial collinear overlap); the overlay fold handles those
+            return _union_fold(rings)
         nxt[a] = b
     start = remaining[0][0]
     out = [start]
@@ -270,11 +242,38 @@ def merge_patch_rings(rings: list[np.ndarray]) -> np.ndarray:
         if cur == start:
             break
     if len(out) - 1 < len(remaining):
-        raise ValueError(
-            "Patch union produced multiple boundary rings; "
-            "merge_patch_rings only returns a single simple exterior"
-        )
+        # multiple boundary rings: patches touch at points / partial
+        # edges rather than complete shared edges — overlay fold
+        return _union_fold(rings)
     return np.asarray(out, dtype=np.float64)
+
+
+def _union_fold(rings: list[np.ndarray]) -> np.ndarray:
+    """Pairwise overlay-union fold over a patch complex.  Always unions a
+    ring that actually meets the accumulator (input order must not matter
+    — a pair of mutually disjoint patches bridged by a later one is still
+    one polygon)."""
+    from georay.geom.union import union_overlapping_rings
+
+    acc = rings[0]
+    remaining = list(rings[1:])
+    while remaining:
+        progressed = False
+        for i, r in enumerate(remaining):
+            try:
+                acc = union_overlapping_rings(acc, r)
+            except ValueError as ex:
+                if "disjoint" in str(ex):
+                    continue
+                raise
+            remaining.pop(i)
+            progressed = True
+            break
+        if not progressed:
+            raise ValueError(
+                "patch complex does not union into a single connected polygon"
+            )
+    return acc
 
 
 def surface_exterior_boundary(geom: dict, epsg: int | None = None) -> np.ndarray:

@@ -260,11 +260,16 @@ class TestSurfaceFactories:
 
 
 class TestPatchUnionGuards:
-    def test_figure_eight_raises(self):
-        # two triangles sharing exactly one vertex: non-simple boundary
+    def test_figure_eight_unions_through_touch_vertex(self):
+        # two triangles sharing exactly one vertex: r2 raised on the
+        # non-simple boundary; the overlay fold now traces the connected
+        # union as one closed walk revisiting the touch vertex (JTS
+        # unions this complex, SurfaceCoordinateListFactory.java:196)
         from georay.geom.curves import merge_patch_rings
+        from georay.geom.union import _signed_area
 
         r1 = np.array([[0, 0], [2, 0], [1, 1], [0, 0]], dtype=float)
         r2 = np.array([[1, 1], [0, 2], [2, 2], [1, 1]], dtype=float)
-        with pytest.raises(ValueError, match="revisits a vertex|multiple boundary"):
-            merge_patch_rings([r1, r2])
+        out = merge_patch_rings([r1, r2])
+        assert _signed_area(out) == pytest.approx(2.0)  # 1 + 1, additive
+        assert (np.all(out[:-1] == [1.0, 1.0], axis=1)).sum() == 2
