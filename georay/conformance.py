@@ -359,6 +359,34 @@ def _cases() -> list[tuple[str, Callable[[], Value], Value]]:
     C.append(("c11_union_vertex_on_edge_area",
               lambda: float(_usa(_uor(_SQ, _TRI_CROSS))), 5.75))
 
+    # ---- P-03 curve-curve DE-9IM (TopologicalRelationships.java:74-91
+    # relates ANY pair via JTS relate; disjointCurves —
+    # VerifyTopologicalRelationships.java:92-97 — is the reference's
+    # curve-curve fixture, the rest are JTS relate outcomes for synthetic
+    # line pairs covering the remaining predicate-matrix hole)
+    from georay.geom.linestring import LineString as _LS
+    from georay.geom.relate import relate_line_line as _rll
+
+    _REF_C1 = [(-123.140714, 49.274247), (-123.132265, 49.276956),
+               (-123.125993, 49.281191), (-123.116355, 49.274977)]
+    _REF_C2 = [(-121.5, 50.0), (-121.0, 50.5), (-120.7, 50.5)]
+
+    def _llr(a, b, pred):
+        return 1.0 if _rll(_LS(a), _LS(b))[pred] else 0.0
+
+    C.append(("p03_curves_disjoint_ref",
+              lambda: _llr(_REF_C1, _REF_C2, "DISJOINT"), 1.0))
+    C.append(("p03_curves_cross_x",
+              lambda: _llr([(0, 0), (2, 2)], [(0, 2), (2, 0)], "CROSSES"), 1.0))
+    C.append(("p03_curves_touch_endpoint",
+              lambda: _llr([(0, 0), (2, 0)], [(1, 0), (1, 1)], "TOUCHES"), 1.0))
+    C.append(("p03_curves_overlap_collinear",
+              lambda: _llr([(0, 0), (3, 0)], [(1, 0), (4, 0)], "OVERLAPS"), 1.0))
+    C.append(("p03_curves_contains_sub",
+              lambda: _llr([(0, 0), (4, 0)], [(1, 0), (2, 0)], "CONTAINS"), 1.0))
+    C.append(("p03_curves_equals_revertex",
+              lambda: _llr([(0, 0), (2, 0)], [(0, 0), (1, 0), (2, 0)], "EQUALS"), 1.0))
+
     # ---- A-06 / A-07 envelope serialization (Extents.java:191-223,364-382)
     env_dec = Envelope(49.1234, -123.4567, 50.5599, -122.8801, 4326)
 

@@ -242,6 +242,133 @@ def relate_polygon_line(poly: Polygon, line: LineString) -> dict[str, bool]:
 
 
 # ---------------------------------------------------------------------------
+# curve-curve relate (completes the last predicate-matrix hole: the
+# reference relates ANY geometry pair via JTS relate,
+# TopologicalRelationships.java:74-91; VerifyTopologicalRelationships.java:92
+# exercises the curve-curve DISJOINT fixture)
+# ---------------------------------------------------------------------------
+
+def _line_boundary(coords: np.ndarray) -> np.ndarray:
+    """Mod-2 boundary of a polyline: its two endpoints; empty for a
+    closed ring (every interior vertex touches two segments)."""
+    if len(coords) > 1 and np.array_equal(coords[0], coords[-1]):
+        return np.empty((0, 2))
+    return np.vstack([coords[0], coords[-1]])
+
+
+def _points_on_polyline(pts: np.ndarray, line: np.ndarray) -> np.ndarray:
+    """bool[n]: does each point lie ON the polyline (exact arithmetic)."""
+    l1, l2 = line[:-1], line[1:]
+    P = pts[:, None, :]
+    d = (l2 - l1)[None, :, :]
+    cr = (P[..., 0] - l1[None, :, 0]) * d[..., 1] - (P[..., 1] - l1[None, :, 1]) * d[..., 0]
+    inx = (P[..., 0] >= np.minimum(l1, l2)[None, :, 0]) & (
+        P[..., 0] <= np.maximum(l1, l2)[None, :, 0]
+    )
+    iny = (P[..., 1] >= np.minimum(l1, l2)[None, :, 1]) & (
+        P[..., 1] <= np.maximum(l1, l2)[None, :, 1]
+    )
+    return ((cr == 0.0) & inx & iny).any(axis=1)
+
+
+def _collinear_intervals(p: np.ndarray, q: np.ndarray, a: np.ndarray):
+    """Parameter intervals [t0, t1] (clipped to [0,1]) of segment (p, q)
+    covered by COLLINEAR segments of polyline ``a``; empty list if none."""
+    a1, a2 = a[:-1], a[1:]
+    d = q - p
+    L2 = float(d[0] * d[0] + d[1] * d[1])
+    if L2 == 0.0:
+        return []
+    c1 = (a1[:, 0] - p[0]) * d[1] - (a1[:, 1] - p[1]) * d[0]
+    c2 = (a2[:, 0] - p[0]) * d[1] - (a2[:, 1] - p[1]) * d[0]
+    col = (c1 == 0.0) & (c2 == 0.0)
+    if not col.any():
+        return []
+    t0 = ((a1[col] - p) @ d) / L2
+    t1 = ((a2[col] - p) @ d) / L2
+    lo = np.clip(np.minimum(t0, t1), 0.0, 1.0)
+    hi = np.clip(np.maximum(t0, t1), 0.0, 1.0)
+    keep = hi > lo
+    return sorted(zip(lo[keep], hi[keep]))
+
+
+def _polyline_covers(a: np.ndarray, b: np.ndarray) -> bool:
+    """Point-set containment B ⊆ A: every segment of ``b`` fully covered
+    by the union of collinear overlaps with ``a``'s segments (1-d
+    coverage needs collinearity; crossing points have measure zero)."""
+    for k in range(len(b) - 1):
+        p, q = b[k], b[k + 1]
+        if np.array_equal(p, q):
+            continue
+        ivs = _collinear_intervals(p, q, a)
+        cover = 0.0
+        for lo, hi in ivs:
+            if lo > cover:
+                return False
+            cover = max(cover, hi)
+        if cover < 1.0:
+            return False
+    return True
+
+
+def _has_collinear_overlap(a: np.ndarray, b: np.ndarray) -> bool:
+    """Any positive-length collinear overlap between the two polylines
+    (=> dim(I ∩ I) = 1: a 1-d overlap always contains interior points of
+    both curves, the curve boundary being just two endpoints)."""
+    for k in range(len(b) - 1):
+        if _collinear_intervals(b[k], b[k + 1], a):
+            return True
+    return False
+
+
+def relate_line_line(a: LineString, b: LineString) -> dict[str, bool]:
+    """All 8 DE-9IM predicates between two curves (JTS relate parity,
+    TopologicalRelationships.java:74-91).  Contact inventory: proper
+    segment crossings (interior x interior points), vertices of one line
+    lying on the other (interior or boundary contact by whether the
+    vertex is a curve endpoint), and positive-length collinear overlaps
+    (dim-1 interior intersection).  Straight segments cannot touch
+    interior-to-interior without crossing or collinearity, so the
+    inventory is complete.  Exact float arithmetic, no epsilon."""
+    A, B = a.coords, b.coords
+    proper, _touch = segments_cross_kinds(A[:-1], A[1:], B[:-1], B[1:])
+    proper_any = bool(proper.any())
+    bnd_a = _line_boundary(A)
+    bnd_b = _line_boundary(B)
+    va_on_b = _points_on_polyline(A, B)
+    vb_on_a = _points_on_polyline(B, A)
+    has_1d = _has_collinear_overlap(A, B)
+
+    def not_boundary(pts: np.ndarray, bnd: np.ndarray) -> np.ndarray:
+        if len(bnd) == 0:
+            return np.ones(len(pts), dtype=bool)
+        return ~(pts[:, None, :] == bnd[None, :, :]).all(-1).any(1)
+
+    ii_vertex = False
+    for pts, on_mask in ((A, va_on_b), (B, vb_on_a)):
+        sel = pts[on_mask]
+        if len(sel):
+            ii_vertex |= bool(
+                (not_boundary(sel, bnd_a) & not_boundary(sel, bnd_b)).any()
+            )
+    ii_point = proper_any or ii_vertex
+    interiors = ii_point or has_1d
+    contact = proper_any or has_1d or bool(va_on_b.any()) or bool(vb_on_a.any())
+    covered_ab = _polyline_covers(A, B)  # B ⊆ A
+    covered_ba = _polyline_covers(B, A)  # A ⊆ B
+    return {
+        "INTERSECTS": contact,
+        "DISJOINT": not contact,
+        "CONTAINS": covered_ab and interiors,
+        "WITHIN": covered_ba and interiors,
+        "EQUALS": covered_ab and covered_ba,
+        "TOUCHES": contact and not interiors,
+        "CROSSES": ii_point and not has_1d,  # dim(II) = 0 for line/line
+        "OVERLAPS": has_1d and not covered_ab and not covered_ba,
+    }
+
+
+# ---------------------------------------------------------------------------
 # vectorized box-stream vs broadcast polygon (the join kernel)
 # ---------------------------------------------------------------------------
 

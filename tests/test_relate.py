@@ -164,3 +164,73 @@ class TestHoleCoverage:
         assert r["OVERLAPS"] and r["INTERSECTS"]
         r2 = relate_polygon_polygon(patch, donut)
         assert not r2["WITHIN"]
+
+
+class TestRelateLineLine:
+    """Curve-curve DE-9IM (the last predicate-matrix hole from VERDICT r2
+    #2): expected values are the JTS relate outcomes the reference's
+    predicate switch would produce (TopologicalRelationships.java:74-91)."""
+
+    def _r(self, a, b):
+        from georay.geom.linestring import LineString
+        from georay.geom.relate import relate_line_line
+
+        return relate_line_line(LineString(a), LineString(b))
+
+    def _check(self, a, b, **want):
+        r = self._r(a, b)
+        for k, v in want.items():
+            assert r[k] == v, (k, r)
+
+    def test_x_crossing(self):
+        self._check([(0, 0), (2, 2)], [(0, 2), (2, 0)],
+                    INTERSECTS=True, CROSSES=True, TOUCHES=False,
+                    OVERLAPS=False, EQUALS=False, DISJOINT=False)
+
+    def test_crossing_through_shared_interior_vertex(self):
+        self._check([(0, 0), (1, 1), (2, 0)], [(0, 2), (1, 1), (2, 2)],
+                    INTERSECTS=True, CROSSES=True, TOUCHES=False)
+
+    def test_endpoint_touches_interior(self):
+        self._check([(0, 0), (2, 0)], [(1, 0), (1, 1)],
+                    INTERSECTS=True, TOUCHES=True, CROSSES=False)
+
+    def test_endpoint_touches_endpoint(self):
+        self._check([(0, 0), (1, 0)], [(1, 0), (2, 1)],
+                    INTERSECTS=True, TOUCHES=True, CROSSES=False, OVERLAPS=False)
+
+    def test_t_through_crossing(self):
+        self._check([(0, 0), (2, 0)], [(1, -1), (1, 1)],
+                    CROSSES=True, TOUCHES=False)
+
+    def test_collinear_overlap(self):
+        self._check([(0, 0), (3, 0)], [(1, 0), (4, 0)],
+                    INTERSECTS=True, OVERLAPS=True, CROSSES=False,
+                    TOUCHES=False, CONTAINS=False, WITHIN=False, EQUALS=False)
+
+    def test_contains_within(self):
+        self._check([(0, 0), (4, 0)], [(1, 0), (2, 0)],
+                    CONTAINS=True, WITHIN=False, OVERLAPS=False, EQUALS=False)
+        self._check([(1, 0), (2, 0)], [(0, 0), (4, 0)],
+                    CONTAINS=False, WITHIN=True)
+
+    def test_equals_different_vertex_layout(self):
+        self._check([(0, 0), (2, 0)], [(0, 0), (1, 0), (2, 0)],
+                    EQUALS=True, CONTAINS=True, WITHIN=True,
+                    OVERLAPS=False, TOUCHES=False)
+
+    def test_disjoint(self):
+        self._check([(0, 0), (1, 0)], [(0, 1), (1, 1)],
+                    DISJOINT=True, INTERSECTS=False, TOUCHES=False)
+
+    def test_collinear_end_to_end_touch(self):
+        self._check([(0, 0), (2, 0)], [(2, 0), (4, 0)],
+                    TOUCHES=True, OVERLAPS=False, CROSSES=False)
+
+    def test_reference_disjoint_curves_fixture(self):
+        # VerifyTopologicalRelationships.java:92-97 disjointCurves:
+        # Curve-LineString.xml vs LineString.xml (lon/lat order)
+        c1 = [(-123.140714, 49.274247), (-123.132265, 49.276956),
+              (-123.125993, 49.281191), (-123.116355, 49.274977)]
+        c2 = [(-121.5, 50.0), (-121.0, 50.5), (-120.7, 50.5)]
+        self._check(c1, c2, DISJOINT=True, INTERSECTS=False)
