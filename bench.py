@@ -249,19 +249,45 @@ def run_flagship(pages_dir: str, num_cpus: int, res: int = 7, repeats: int = 2):
     return {"wall_sec": wall, "docs": n_docs, "docs_per_sec": n_docs / wall, "join_rows": join_rows, "cells": n_cells}
 
 
+def _logical_stage_count(ds) -> int | None:
+    """Number of logical operators in the query's (final) Dataset plan —
+    the per-query stage count BENCH reports so round-to-round timing
+    regressions are attributable (each stage carries ~2.5 s fixed Ray
+    overhead at sf0.1 in this sandbox; see BASELINE.md).  Counts the
+    final dataset's lineage only: internally-materialized intermediates
+    (e.g. a pinned signature table) root a fresh plan."""
+    try:
+        dag = ds._logical_plan.dag
+    except AttributeError:
+        return None
+
+    seen = set()
+
+    def walk(op):
+        seen.add(op)
+        for dep in op.input_dependencies:
+            if dep not in seen:
+                walk(dep)
+
+    walk(dag)
+    return len(seen)
+
+
 def run_queries(sf_dir: str):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entry
 
     out = {}
+    stages = {}
     for name, fn in entry.queries().items():
         t0 = time.perf_counter()
         res = fn(sf_dir)
+        stages[name] = _logical_stage_count(res)
         # force execution
         if hasattr(res, "count"):
             res.count()
         out[name] = round(time.perf_counter() - t0, 3)
-    return out
+    return out, stages
 
 
 def _pin_cpus(n: int) -> bool:
@@ -288,7 +314,7 @@ def one_run(args) -> dict:
         args.pinned = _pin_cpus(args.num_cpus)
     pages_dir = ensure_pages(args.sf_dir, args.pages, skew=args.skew)
     head = run_flagship(pages_dir, args.num_cpus, repeats=args.repeats)
-    qs = run_queries(args.sf_dir) if args.queries else {}
+    qs, qstages = run_queries(args.sf_dir) if args.queries else ({}, {})
     ray.shutdown()
     sf = os.path.basename(os.path.normpath(args.sf_dir)).replace("sf", "")
     return {
@@ -296,6 +322,7 @@ def one_run(args) -> dict:
         "value": round(head["wall_sec"], 3),
         "unit": "sec",
         "queries": qs,
+        "query_stages": qstages,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": args.num_cpus,
         "cpus_pinned": bool(getattr(args, "pinned", False)),

@@ -347,28 +347,41 @@ def minhash_band_batch(
     )
 
 
-def _bucket_list_partial(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    """Per-batch combine: (band, key) -> list of doc_ids (pyarrow C++)."""
-    g = batch.group_by(["band", "key"]).aggregate([(id_col, "list")])
-    return g.rename_columns(["band", "key", "ids"])
+def _bucket_list_partial(batch: pa.Table, id_col: str = "doc_id",
+                         payload_col: str | None = None) -> pa.Table:
+    """Per-batch combine: (band, key) -> list of doc_ids (pyarrow C++);
+    an optional fixed-width payload column (e.g. the 64-bit simhash) is
+    list-aggregated alongside so inline pair verification never needs a
+    join back against the corpus."""
+    aggs = [(id_col, "list")]
+    names = ["band", "key", "ids"]
+    if payload_col is not None:
+        aggs.append((payload_col, "list"))
+        names.append("payloads")
+    g = batch.group_by(["band", "key"]).aggregate(aggs)
+    return g.rename_columns(names)
 
 
 def _bucket_list_merge(batch: pa.Table) -> pa.Table:
     """Merge partial id-lists per (band, key): explode back to rows
     (pyarrow's hash_list can't aggregate list columns) and re-list."""
+    has_payload = "payloads" in batch.column_names
     ids = batch.column("ids").combine_chunks()
     lengths = pc.list_value_length(ids).to_numpy(zero_copy_only=False)
     idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), lengths), pa.int64())
-    rows = pa.table(
-        {
-            "band": batch.column("band").combine_chunks().take(idx),
-            "key": batch.column("key").combine_chunks().take(idx),
-            "doc_id": ids.flatten(),
-        }
-    )
-    return rows.group_by(["band", "key"]).aggregate([("doc_id", "list")]).rename_columns(
-        ["band", "key", "ids"]
-    )
+    cols = {
+        "band": batch.column("band").combine_chunks().take(idx),
+        "key": batch.column("key").combine_chunks().take(idx),
+        "doc_id": ids.flatten(),
+    }
+    aggs = [("doc_id", "list")]
+    names = ["band", "key", "ids"]
+    if has_payload:
+        cols["payload"] = batch.column("payloads").combine_chunks().flatten()
+        aggs.append(("payload", "list"))
+        names.append("payloads")
+    rows = pa.table(cols)
+    return rows.group_by(["band", "key"]).aggregate(aggs).rename_columns(names)
 
 
 def _truncated_int_to_bool(b: pa.Table) -> pa.Table:
@@ -386,36 +399,46 @@ def _truncated_int_to_bool(b: pa.Table) -> pa.Table:
 
 
 def _bucket_lists_to_rows(b: pa.Table, out_col: str = "doc_a") -> pa.Table:
-    """Explode materialized (band, key, ids) partials back to slim
-    (band, key, id) rows — lets mode="auto" reuse the already-computed
-    partials for the join path instead of re-running the signature
-    lineage."""
+    """Explode materialized (band, key, ids[, payloads]) partials back to
+    slim (band, key, id[, payload]) rows — lets mode="auto" reuse the
+    already-computed partials for the join path instead of re-running the
+    signature lineage."""
+    has_payload = "payloads" in b.column_names
     if b.num_rows == 0:
-        return pa.table(
-            {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
-             out_col: pa.array([], pa.int64())}
-        )
+        out = {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
+               out_col: pa.array([], pa.int64())}
+        if has_payload:
+            out["payload"] = pa.array([], pa.int64())
+        return pa.table(out)
     ids = b.column("ids").combine_chunks()
     lengths = pc.list_value_length(ids).to_numpy(zero_copy_only=False)
     idx = pa.array(np.repeat(np.arange(len(b), dtype=np.int64), lengths), pa.int64())
-    return pa.table(
-        {
-            "band": b.column("band").combine_chunks().take(idx),
-            "key": b.column("key").combine_chunks().take(idx),
-            out_col: ids.flatten(),
-        }
-    )
+    out = {
+        "band": b.column("band").combine_chunks().take(idx),
+        "key": b.column("key").combine_chunks().take(idx),
+        out_col: ids.flatten(),
+    }
+    if has_payload:
+        out["payload"] = b.column("payloads").combine_chunks().flatten()
+    return pa.table(out)
 
 
-def _join_pairs_from_slim(slim):
+def _join_pairs_from_slim(slim, pair_filter=None):
     """Distributed self-hash-join pair expansion over a MATERIALIZED slim
-    (band, key, doc_a) dataset — no single merge task, no per-group
-    dispatch; every stage is a partitioned C++ join / groupby."""
+    (band, key, doc_a[, payload]) dataset — no single merge task, no
+    per-group dispatch; every stage is a partitioned C++ join / groupby.
+    ``pair_filter(payload_a, payload_b) -> bool mask`` verifies pairs
+    inline from payloads riding the join (e.g. exact hamming on simhash)
+    — no join back against the corpus."""
     from ray.data.aggregate import Max as _Max
 
-    right = slim.map_batches(
-        lambda b: b.rename_columns(["band", "key", "doc_b"]), batch_format="pyarrow"
-    )
+    has_payload = pair_filter is not None
+
+    def rename_right(b: pa.Table) -> pa.Table:
+        names = {"doc_a": "doc_b", "payload": "payload_b"}
+        return b.rename_columns([names.get(c, c) for c in b.column_names])
+
+    right = slim.map_batches(rename_right, batch_format="pyarrow")
     import ray as _ray
 
     n_part = max(4, min(int(_ray.cluster_resources().get("CPU", 4)), 32))
@@ -430,6 +453,10 @@ def _join_pairs_from_slim(slim):
         da = b.column("doc_a").to_numpy()
         db = b.column("doc_b").to_numpy()
         keep = da < db
+        if has_payload:
+            keep = keep & pair_filter(
+                b.column("payload").to_numpy(), b.column("payload_b").to_numpy()
+            )
         return pa.table(
             {
                 "doc_a": pa.array(da[keep], pa.int64()),
@@ -446,11 +473,12 @@ def _join_pairs_from_slim(slim):
     return distinct.map_batches(_truncated_int_to_bool, batch_format="pyarrow")
 
 
-def _tree_pairs_from_partials(partials, fanout: int, max_bucket: int):
-    """Coalesce-and-merge the (band, key, ids) partials down to one block,
-    then one vectorized pair-expansion pass.  The final merge coalesces to
-    a single task — callers must bound bucket-table cardinality (that is
-    what mode="auto" measures)."""
+def _tree_pairs_from_partials(partials, fanout: int, max_bucket: int, pair_filter=None):
+    """Coalesce-and-merge the (band, key, ids[, payloads]) partials down
+    to one block, then one vectorized pair-expansion pass (with optional
+    inline payload verification).  The final merge coalesces to a single
+    task — callers must bound bucket-table cardinality (that is what
+    mode="auto" measures)."""
     merged = partials.repartition(fanout).map_batches(
         _bucket_list_merge, batch_format="pyarrow", batch_size=None
     )
@@ -459,19 +487,32 @@ def _tree_pairs_from_partials(partials, fanout: int, max_bucket: int):
     )
 
     def expand(batch: pa.Table) -> pa.Table:
+        has_payload = "payloads" in batch.column_names
         ids_col = batch.column("ids").combine_chunks()
         lengths = pc.list_value_length(ids_col).to_numpy(zero_copy_only=False)
         out_a, out_b, out_tr = [], [], []
         offsets = ids_col.offsets.to_numpy(zero_copy_only=False)
         flat = ids_col.flatten().to_numpy(zero_copy_only=False)
+        if has_payload:
+            pl_flat = batch.column("payloads").combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            )
         for i in np.nonzero(lengths >= 2)[0]:
-            ids = np.unique(flat[offsets[i] : offsets[i + 1]])
+            seg = flat[offsets[i] : offsets[i + 1]]
+            ids, first = np.unique(seg, return_index=True)
             truncated = len(ids) > max_bucket
             if truncated:
                 ids = ids[:max_bucket]
+                first = first[:max_bucket]
             if len(ids) < 2:
                 continue
             ia, ib = np.triu_indices(len(ids), k=1)
+            if has_payload and pair_filter is not None:
+                pl = pl_flat[offsets[i] : offsets[i + 1]][first]
+                m = pair_filter(pl[ia], pl[ib])
+                ia, ib = ia[m], ib[m]
+                if len(ia) == 0:
+                    continue
             out_a.append(ids[ia])
             out_b.append(ids[ib])
             out_tr.append(np.full(len(ia), truncated))
@@ -502,6 +543,7 @@ def _tree_pairs_from_partials(partials, fanout: int, max_bucket: int):
 def band_bucket_pairs(
     banded_ds, id_col: str = "doc_id", fanout: int = 8, max_bucket: int = 512,
     mode: str = "auto", tree_row_limit: int = 2_000_000,
+    payload_col: str | None = None, pair_filter=None,
 ):
     """(band, key, doc_id) rows -> distinct candidate pairs (doc_a < doc_b).
 
@@ -536,33 +578,44 @@ def band_bucket_pairs(
 
     Buckets larger than ``max_bucket`` are truncated in tree/groupby
     modes (pathological all-identical shards) and flagged.
+
+    ``payload_col``/``pair_filter``: a fixed-width per-doc payload (e.g.
+    the 64-bit simhash) rides the bucket shuffle and
+    ``pair_filter(payload_a, payload_b) -> bool mask`` verifies candidate
+    pairs INLINE at expansion — candidates never join back against the
+    corpus, and only verified pairs leave the stage.
     """
     if mode == "auto":
         partials = banded_ds.map_batches(
-            lambda b: _bucket_list_partial(b, id_col), batch_format="pyarrow", batch_size=None
+            lambda b: _bucket_list_partial(b, id_col, payload_col),
+            batch_format="pyarrow", batch_size=None,
         ).materialize()
         if partials.count() <= tree_row_limit:
-            return _tree_pairs_from_partials(partials, fanout, max_bucket)
+            return _tree_pairs_from_partials(partials, fanout, max_bucket, pair_filter)
         slim = partials.map_batches(_bucket_lists_to_rows, batch_format="pyarrow").materialize()
-        return _join_pairs_from_slim(slim)
+        return _join_pairs_from_slim(slim, pair_filter)
     if mode == "join":
 
         def _project(b: pa.Table) -> pa.Table:
             if b.num_rows == 0:
-                return pa.table(
-                    {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
-                     "doc_a": pa.array([], pa.int64())}
-                )
-            return pa.table(
-                {"band": b.column("band"), "key": b.column("key"), "doc_a": b.column(id_col)}
-            )
+                out = {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
+                       "doc_a": pa.array([], pa.int64())}
+                if payload_col is not None:
+                    out["payload"] = pa.array([], pa.int64())
+                return pa.table(out)
+            out = {"band": b.column("band"), "key": b.column("key"), "doc_a": b.column(id_col)}
+            if payload_col is not None:
+                out["payload"] = b.column(payload_col)
+            return pa.table(out)
 
         # materialize the slim (band, key, id) projection ONCE — deriving
         # both join sides from the lazy upstream would re-execute the
         # whole signature/banding lineage twice (the dominant cost)
         slim = banded_ds.map_batches(_project, batch_format="pyarrow").materialize()
-        return _join_pairs_from_slim(slim)
+        return _join_pairs_from_slim(slim, pair_filter)
     if mode == "groupby":
+        if payload_col is not None:
+            raise ValueError("payload verification is not supported in groupby mode")
         from ray.data.aggregate import Max as _Max
 
         pairs = banded_ds.groupby(["band", "key"]).map_groups(
@@ -597,9 +650,10 @@ def band_bucket_pairs(
         raise ValueError(f"unknown band_bucket_pairs mode {mode!r}")
 
     partials = banded_ds.map_batches(
-        lambda b: _bucket_list_partial(b, id_col), batch_format="pyarrow", batch_size=None
+        lambda b: _bucket_list_partial(b, id_col, payload_col),
+        batch_format="pyarrow", batch_size=None,
     )
-    return _tree_pairs_from_partials(partials, fanout, max_bucket)
+    return _tree_pairs_from_partials(partials, fanout, max_bucket, pair_filter)
 
 
 def bucket_pairs(group: pd.DataFrame, id_col: str = "doc_id", max_bucket: int = 512) -> pd.DataFrame:
@@ -730,20 +784,21 @@ def simhash_index_keys(u: np.ndarray, blocks: int = 6, max_hamming: int = 3):
 
 def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 512,
                   text_col: str = "text", id_col: str = "doc_id",
-                  hash_impl: str = "fast", num_partitions: int = 8,
+                  hash_impl: str = "fast",
                   blocks: int = 6, stats_out: dict | None = None):
     """SimHash near-dup PAIRS via the permuted multi-index
     (:func:`simhash_index_keys`): docs sharing any table's block-subset
     key are candidates (recall 1 for hamming <= ``max_hamming`` by
-    pigeonhole), verified by exact hamming distance after hash-joining
-    the (doc_id, simhash) table back onto the pair stream.  Only 8-byte
-    hashes ever shuffle; candidate-pair expansion goes through
-    ``band_bucket_pairs(mode="auto")`` which picks the tree merge or the
-    distributed self-join by measured bucket cardinality.  ``blocks``
-    tunes the recall/volume trade-off: C(blocks, max_hamming) tables,
-    key width ~``64 * (1 - max_hamming/blocks)`` bits (6/3 -> 20 tables,
-    ~32-bit keys — bucket cardinality grows with the corpus instead of
-    capping at 2^16)."""
+    pigeonhole), verified INLINE by exact hamming distance — the 8-byte
+    simhash rides the bucket shuffle as a ``band_bucket_pairs`` payload,
+    so candidates never hash-join back against the corpus (the round-2
+    shape paid two distributed joins here).  Candidate-pair expansion
+    goes through ``band_bucket_pairs(mode="auto")`` which picks the tree
+    merge or the distributed self-join by measured bucket cardinality.
+    ``blocks`` tunes the recall/volume trade-off: C(blocks, max_hamming)
+    tables, key width ~``64 * (1 - max_hamming/blocks)`` bits (6/3 -> 20
+    tables, ~32-bit keys — bucket cardinality grows with the corpus
+    instead of capping at 2^16)."""
     # one simhash pass over the corpus; table keys are re-derived from
     # the 64-bit hash by shifting (the banded branch must not re-run the
     # dominant token-hashing upstream)
@@ -751,40 +806,41 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 512,
         lambda b: simhash_batch(b, text_col=text_col, id_col=id_col, hash_impl=hash_impl)
         .select([id_col, "simhash"]),
         batch_format="pyarrow",
-    ).materialize()
+    )
 
     def banded(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy()
-        u = b.column("simhash").to_numpy().astype(np.uint64)
-        out_band, out_key, out_id = [], [], []
+        sim = b.column("simhash").to_numpy()
+        u = sim.astype(np.uint64)
+        out_band, out_key, out_id, out_sim = [], [], [], []
         for table_id, key in simhash_index_keys(u, blocks=blocks, max_hamming=max_hamming):
             out_band.append(np.full(len(ids), table_id, dtype=np.int32))
             out_key.append(key)
             out_id.append(ids)
+            out_sim.append(sim)
         return pa.table(
             {
                 "band": pa.array(np.concatenate(out_band), pa.int32()),
                 "key": pa.array(np.concatenate(out_key), pa.int64()),
                 "doc_id": pa.array(np.concatenate(out_id)),
+                "sim": pa.array(np.concatenate(out_sim), pa.int64()),
             }
         )
 
-    cand = band_bucket_pairs(sims_slim.map_batches(banded, batch_format="pyarrow"),
-                             max_bucket=max_bucket)
+    verified = band_bucket_pairs(
+        sims_slim.map_batches(banded, batch_format="pyarrow"),
+        max_bucket=max_bucket,
+        payload_col="sim",
+        pair_filter=lambda sa, sb: hamming64(sa, sb) <= max_hamming,
+    ).materialize()
 
-    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-    cand = cand.materialize()
-    if cand.count() == 0:
-        import ray.data as _rd
-
-        return _rd.from_arrow(empty)
-    trunc = cand.map_batches(
+    trunc = verified.map_batches(
         lambda b: pa.table({"t": b.column("truncated").cast(pa.int32())}),
         batch_format="pyarrow",
     ).sum("t")
     if stats_out is not None:
         # programmatic truncation contract (the warning below is for
-        # humans): candidate pairs whose bucket hit the max_bucket cap —
+        # humans): verified pairs whose bucket hit the max_bucket cap —
         # nonzero means the pigeonhole recall-1 guarantee was voided
         stats_out["truncated_candidate_pairs"] = int(trunc or 0)
     if trunc:
@@ -796,31 +852,11 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 512,
             "hold for this run; raise max_bucket for exact results",
             max_bucket,
         )
-    j1 = cand.join(
-        sims_slim, join_type="inner", num_partitions=num_partitions,
-        on=("doc_a",), right_on=(id_col,),
-    ).map_batches(
-        lambda b: b.rename_columns(["sim_a" if c == "simhash" else c for c in b.column_names]),
+    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    return verified.map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]) if b.num_rows else empty,
         batch_format="pyarrow",
     )
-    j2 = j1.join(
-        sims_slim, join_type="inner", num_partitions=num_partitions,
-        on=("doc_b",), right_on=(id_col,),
-    )
-
-    def verify(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return empty
-        d = hamming64(b.column("sim_a").to_numpy(), b.column("simhash").to_numpy())
-        keep = d <= max_hamming
-        return pa.table(
-            {
-                "doc_a": b.column("doc_a").filter(pa.array(keep)),
-                "doc_b": b.column("doc_b").filter(pa.array(keep)),
-            }
-        )
-
-    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
