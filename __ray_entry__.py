@@ -403,11 +403,14 @@ def _q_simhash(sf_dir: str):
 
 
 def _q_simhash_pairs(sf_dir: str):
-    """SimHash near-dup pairs: 4x16-bit block-key candidates (hamming<=3
-    implies a shared block — pigeonhole, so recall is exactly 1 and the
-    SQL oracle's any-block-equal + bit_count filter reproduces the exact
-    pair set) verified by hash-joining the simhash table onto the pair
-    stream."""
+    """SimHash near-dup pairs via the permuted multi-index (20 tables of
+    ~32-bit block-subset keys, georay/dedup.py simhash_index_keys):
+    hamming<=3 implies a shared table key — pigeonhole, so recall is
+    exactly 1 — and pairs verify INLINE by exact hamming on the simhash
+    payload riding the bucket shuffle.  The SQL oracle reproduces the
+    exact pair set through its own (equivalent, recall-1) 4x16-bit
+    pigeonhole prefilter + bit_count<=3; both sides emit precisely the
+    hamming<=3 pairs, so index layout differences are invisible."""
     from georay.dedup import simhash_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

@@ -347,12 +347,27 @@ def minhash_band_batch(
     )
 
 
+def _empty_bucket_lists(has_payload: bool) -> pa.Table:
+    cols = {
+        "band": pa.array([], pa.int32()),
+        "key": pa.array([], pa.int64()),
+        "ids": pa.array([], pa.list_(pa.int64())),
+    }
+    if has_payload:
+        cols["payloads"] = pa.array([], pa.list_(pa.int64()))
+    return pa.table(cols)
+
+
 def _bucket_list_partial(batch: pa.Table, id_col: str = "doc_id",
                          payload_col: str | None = None) -> pa.Table:
     """Per-batch combine: (band, key) -> list of doc_ids (pyarrow C++);
     an optional fixed-width payload column (e.g. the 64-bit simhash) is
     list-aggregated alongside so inline pair verification never needs a
-    join back against the corpus."""
+    join back against the corpus.  EMPTY batches return a literal typed
+    table — pyarrow group_by on an empty input yields 0-chunk columns
+    Ray's block layer treats as schemaless (r3 review finding)."""
+    if batch.num_rows == 0:
+        return _empty_bucket_lists(payload_col is not None)
     aggs = [(id_col, "list")]
     names = ["band", "key", "ids"]
     if payload_col is not None:
@@ -362,10 +377,14 @@ def _bucket_list_partial(batch: pa.Table, id_col: str = "doc_id",
     return g.rename_columns(names)
 
 
-def _bucket_list_merge(batch: pa.Table) -> pa.Table:
+def _bucket_list_merge(batch: pa.Table, has_payload: bool = False) -> pa.Table:
     """Merge partial id-lists per (band, key): explode back to rows
-    (pyarrow's hash_list can't aggregate list columns) and re-list."""
-    has_payload = "payloads" in batch.column_names
+    (pyarrow's hash_list can't aggregate list columns) and re-list.
+    ``has_payload`` is caller-supplied because an EMPTY input block (the
+    norm after repartition(fanout) of a small partials table) may be
+    schemaless — its column list can't be trusted to infer layout."""
+    if batch.num_rows == 0:
+        return _empty_bucket_lists(has_payload)
     ids = batch.column("ids").combine_chunks()
     lengths = pc.list_value_length(ids).to_numpy(zero_copy_only=False)
     idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), lengths), pa.int64())
@@ -423,16 +442,75 @@ def _bucket_lists_to_rows(b: pa.Table, out_col: str = "doc_a") -> pa.Table:
     return pa.table(out)
 
 
-def _join_pairs_from_slim(slim, pair_filter=None):
+def _join_pairs_from_slim(slim, pair_filter=None, max_bucket=None):
     """Distributed self-hash-join pair expansion over a MATERIALIZED slim
     (band, key, doc_a[, payload]) dataset — no single merge task, no
     per-group dispatch; every stage is a partitioned C++ join / groupby.
     ``pair_filter(payload_a, payload_b) -> bool mask`` verifies pairs
     inline from payloads riding the join (e.g. exact hamming on simhash)
-    — no join back against the corpus."""
-    from ray.data.aggregate import Max as _Max
+    — no join back against the corpus.
+
+    ``max_bucket``: a self-join expands a hot bucket QUADRATICALLY, so
+    buckets with more than ``max_bucket`` rows are DROPPED entirely
+    (detected by a vectorized groupby count; pathological all-identical
+    shards only), logged, and flagged with a (-1, -1, truncated=True)
+    marker row — the join analog of tree-mode truncation, so the default
+    mode='auto' honours the cap on whichever path it picks."""
+    from ray.data.aggregate import Count as _Count, Max as _Max
 
     has_payload = pair_filter is not None
+    markers = None
+    if max_bucket is not None:
+        def hot_only(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64())}
+                )
+            t = b.filter(pc.greater(b.column("n"), max_bucket))
+            return pa.table(
+                {"band": t.column("band").cast(pa.int32()), "key": t.column("key")}
+            )
+
+        hot = (
+            slim.groupby(["band", "key"])
+            .aggregate(_Count(alias_name="n"))
+            .map_batches(hot_only, batch_format="pyarrow")
+            .take_all()
+        )
+        if hot:
+            import logging
+
+            import ray.data as _rd
+
+            logging.getLogger("georay.dedup").warning(
+                "join-mode pair expansion dropped %d bucket(s) larger than "
+                "max_bucket=%d (quadratic self-join guard); pairs inside them "
+                "are NOT emitted — marker rows flag the loss",
+                len(hot), max_bucket,
+            )
+
+            hot_pairs = [(int(r["band"]), int(r["key"])) for r in hot]
+
+            def drop_hot(b: pa.Table) -> pa.Table:
+                if b.num_rows == 0:
+                    return b
+                band = b.column("band").to_numpy()
+                key = b.column("key").to_numpy()
+                keep = np.ones(len(band), bool)
+                for hb, hk in hot_pairs:
+                    keep &= ~((band == hb) & (key == hk))
+                return b.filter(pa.array(keep))
+
+            slim = slim.map_batches(drop_hot, batch_format="pyarrow")
+            markers = _rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_a": pa.array([-1] * len(hot), pa.int64()),
+                        "doc_b": pa.array([-1] * len(hot), pa.int64()),
+                        "truncated": pa.array([True] * len(hot), pa.bool_()),
+                    }
+                )
+            )
 
     def rename_right(b: pa.Table) -> pa.Table:
         names = {"doc_a": "doc_b", "payload": "payload_b"}
@@ -470,24 +548,27 @@ def _join_pairs_from_slim(slim, pair_filter=None):
         .groupby(["doc_a", "doc_b"])
         .aggregate(_Max("truncated", alias_name="truncated"))
     )
-    return distinct.map_batches(_truncated_int_to_bool, batch_format="pyarrow")
+    result = distinct.map_batches(_truncated_int_to_bool, batch_format="pyarrow")
+    if markers is not None:
+        result = result.union(markers)
+    return result
 
 
-def _tree_pairs_from_partials(partials, fanout: int, max_bucket: int, pair_filter=None):
+def _tree_pairs_from_partials(partials, fanout: int, max_bucket: int, pair_filter=None,
+                              has_payload: bool = False):
     """Coalesce-and-merge the (band, key, ids[, payloads]) partials down
     to one block, then one vectorized pair-expansion pass (with optional
     inline payload verification).  The final merge coalesces to a single
     task — callers must bound bucket-table cardinality (that is what
     mode="auto" measures)."""
     merged = partials.repartition(fanout).map_batches(
-        _bucket_list_merge, batch_format="pyarrow", batch_size=None
+        lambda b: _bucket_list_merge(b, has_payload), batch_format="pyarrow", batch_size=None
     )
     merged = merged.repartition(1).map_batches(
-        _bucket_list_merge, batch_format="pyarrow", batch_size=None
+        lambda b: _bucket_list_merge(b, has_payload), batch_format="pyarrow", batch_size=None
     )
 
     def expand(batch: pa.Table) -> pa.Table:
-        has_payload = "payloads" in batch.column_names
         ids_col = batch.column("ids").combine_chunks()
         lengths = pc.list_value_length(ids_col).to_numpy(zero_copy_only=False)
         out_a, out_b, out_tr = [], [], []
@@ -512,6 +593,13 @@ def _tree_pairs_from_partials(partials, fanout: int, max_bucket: int, pair_filte
                 m = pair_filter(pl[ia], pl[ib])
                 ia, ib = ia[m], ib[m]
                 if len(ia) == 0:
+                    if truncated:
+                        # keep truncation observable even when the filter
+                        # rejects every surviving pair: a (-1,-1) marker
+                        # row carries the flag (consumers drop doc_a < 0)
+                        out_a.append(np.array([-1], np.int64))
+                        out_b.append(np.array([-1], np.int64))
+                        out_tr.append(np.array([True]))
                     continue
             out_a.append(ids[ia])
             out_b.append(ids[ib])
@@ -530,14 +618,21 @@ def _tree_pairs_from_partials(partials, fanout: int, max_bucket: int, pair_filte
         )
 
     pairs = merged.map_batches(expand, batch_format="pyarrow", batch_size=None)
-    # distinct pairs (a pair can collide in several bands)
-    return pairs.map_batches(
-        lambda b: b.group_by(["doc_a", "doc_b"]).aggregate([("truncated", "max")]).rename_columns(
+
+    def distinct(b: pa.Table) -> pa.Table:
+        # distinct pairs (a pair can collide in several bands).  pyarrow
+        # group_by on an EMPTY table yields 0-chunk columns that Ray's
+        # block layer treats as schemaless — rebuild the typed empty
+        if b.num_rows == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "truncated": pa.array([], pa.bool_())}
+            )
+        return b.group_by(["doc_a", "doc_b"]).aggregate([("truncated", "max")]).rename_columns(
             ["doc_a", "doc_b", "truncated"]
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
+        )
+
+    return pairs.map_batches(distinct, batch_format="pyarrow", batch_size=None)
 
 
 def band_bucket_pairs(
@@ -572,12 +667,14 @@ def band_bucket_pairs(
     mode="join": distributed self-hash-join on (band, key) — the
     unbounded-cardinality scale path (10^12-doc MinHash: no single merge
     task, no per-group dispatch, every stage a partitioned C++ join /
-    groupby).  No ``max_bucket`` cap applies — a hot bucket expands
-    quadratically, so upstream signature design (or a pre-join bucket
-    count filter) must bound bucket sizes.
+    groupby).
 
-    Buckets larger than ``max_bucket`` are truncated in tree/groupby
-    modes (pathological all-identical shards) and flagged.
+    ``max_bucket`` (pathological all-identical shards): tree/groupby
+    modes TRUNCATE oversized buckets to the cap and flag the emitted
+    pairs; join mode DROPS them entirely (a self-join expands hot buckets
+    quadratically) and emits (-1, -1, truncated=True) marker rows, so the
+    loss is programmatically observable on every path the default
+    mode="auto" can pick.  Pass ``max_bucket=None`` to disable.
 
     ``payload_col``/``pair_filter``: a fixed-width per-doc payload (e.g.
     the 64-bit simhash) rides the bucket shuffle and
@@ -591,9 +688,10 @@ def band_bucket_pairs(
             batch_format="pyarrow", batch_size=None,
         ).materialize()
         if partials.count() <= tree_row_limit:
-            return _tree_pairs_from_partials(partials, fanout, max_bucket, pair_filter)
+            return _tree_pairs_from_partials(partials, fanout, max_bucket, pair_filter,
+                                             has_payload=payload_col is not None)
         slim = partials.map_batches(_bucket_lists_to_rows, batch_format="pyarrow").materialize()
-        return _join_pairs_from_slim(slim, pair_filter)
+        return _join_pairs_from_slim(slim, pair_filter, max_bucket)
     if mode == "join":
 
         def _project(b: pa.Table) -> pa.Table:
@@ -612,7 +710,7 @@ def band_bucket_pairs(
         # both join sides from the lazy upstream would re-execute the
         # whole signature/banding lineage twice (the dominant cost)
         slim = banded_ds.map_batches(_project, batch_format="pyarrow").materialize()
-        return _join_pairs_from_slim(slim, pair_filter)
+        return _join_pairs_from_slim(slim, pair_filter, max_bucket)
     if mode == "groupby":
         if payload_col is not None:
             raise ValueError("payload verification is not supported in groupby mode")
@@ -653,7 +751,8 @@ def band_bucket_pairs(
         lambda b: _bucket_list_partial(b, id_col, payload_col),
         batch_format="pyarrow", batch_size=None,
     )
-    return _tree_pairs_from_partials(partials, fanout, max_bucket, pair_filter)
+    return _tree_pairs_from_partials(partials, fanout, max_bucket, pair_filter,
+                                     has_payload=payload_col is not None)
 
 
 def bucket_pairs(group: pd.DataFrame, id_col: str = "doc_id", max_bucket: int = 512) -> pd.DataFrame:
@@ -834,14 +933,25 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 512,
         pair_filter=lambda sa, sb: hamming64(sa, sb) <= max_hamming,
     ).materialize()
 
+    import ray.data as _rd
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    if verified.count() == 0:
+        # Ray skips the UDF on empty blocks, so an all-empty dataset
+        # cannot be re-typed by map_batches guards — pin the schema with
+        # a literal empty dataset (r3 review finding)
+        return _rd.from_arrow(empty)
+
     trunc = verified.map_batches(
         lambda b: pa.table({"t": b.column("truncated").cast(pa.int32())}),
         batch_format="pyarrow",
     ).sum("t")
     if stats_out is not None:
         # programmatic truncation contract (the warning below is for
-        # humans): verified pairs whose bucket hit the max_bucket cap —
-        # nonzero means the pigeonhole recall-1 guarantee was voided
+        # humans): rows from buckets that hit the max_bucket cap —
+        # verified pairs from truncated buckets, plus one (-1,-1) marker
+        # per truncated bucket whose pairs were all hamming-rejected, so
+        # the count is nonzero WHENEVER the recall-1 guarantee was voided
         stats_out["truncated_candidate_pairs"] = int(trunc or 0)
     if trunc:
         import logging
@@ -852,11 +962,18 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 512,
             "hold for this run; raise max_bucket for exact results",
             max_bucket,
         )
-    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-    return verified.map_batches(
-        lambda b: b.select(["doc_a", "doc_b"]) if b.num_rows else empty,
-        batch_format="pyarrow",
-    )
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        # drop (-1,-1) truncation marker rows — they carry the flag for
+        # the stats/warning above, not real pairs
+        b = b.filter(pc.greater_equal(b.column("doc_a"), 0))
+        return b.select(["doc_a", "doc_b"])
+
+    out = verified.map_batches(final, batch_format="pyarrow").materialize()
+    if out.count() == 0:  # all rows were markers: re-pin the schema
+        return _rd.from_arrow(empty)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1320,7 +1437,7 @@ def connected_components(pairs_ds, num_partitions: int | None = None, max_iter: 
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
-            "with shortcutting this covers diameters ~2^{max_iter}; refusing "
+            f"with shortcutting this covers diameters ~2^{max_iter}; refusing "
             "to return non-minimal survivors (raise max_iter to override)"
         )
     return labels.map_batches(

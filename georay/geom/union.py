@@ -190,7 +190,15 @@ def _stitch(edges):
     several outgoing edges (point-touch vertices), take the most
     CLOCKWISE turn relative to the incoming direction — with interiors on
     the left of every kept edge, that keeps the walk on the exterior face
-    and traverses the whole touching complex as one closed ring."""
+    and traverses the whole touching complex as one closed ring.
+
+    Closing the ring when the walk returns to the start vertex is itself
+    a turn CHOICE: when the start vertex is a point-touch junction with
+    unused outgoing edges, closing early would orphan the other lobe (the
+    walk would depend on which edge happened to be first in the kept
+    list).  So the starting edge competes in the same most-clockwise
+    comparison — the ring closes only when re-taking the starting edge is
+    the sharpest right turn (or nothing else is left)."""
     out_map: dict[tuple, list[int]] = {}
     for idx, (p1, _) in enumerate(edges):
         out_map.setdefault(_key(p1), []).append(idx)
@@ -203,34 +211,34 @@ def _stitch(edges):
         p_start = _key(edges[start][0])
         ring = [edges[start][0]]
         cur = start
-        for _ in range(len(edges) + 1):
+        for _ in range(2 * len(edges) + 1):
             p1, p2 = edges[cur]
             ring.append(p2)
-            if _key(p2) == p_start:
-                break
             cands = [i for i in out_map.get(_key(p2), []) if not used[i]]
+            at_start = _key(p2) == p_start
+            if at_start and not cands:
+                break
             if not cands:
                 raise ValueError("union boundary did not close (degenerate ring pair)")
-            if len(cands) == 1:
-                nxt = cands[0]
-            else:
-                din = p2 - p1
-                rev_key = _key(p1)
+            din = p2 - p1
+            rev_key = _key(p1)
 
-                def turn(i):
-                    dout = edges[i][1] - edges[i][0]
-                    # most clockwise first: smallest CCW angle in (-pi, pi]
-                    ang = math.atan2(
-                        din[0] * dout[1] - din[1] * dout[0],
-                        din[0] * dout[0] + din[1] * dout[1],
-                    )
-                    # never U-turn straight back unless forced
-                    straight_back = (
-                        _key(edges[i][1]) == rev_key and abs(ang) >= math.pi - 1e-12
-                    )
-                    return (1 if straight_back else 0, ang)
+            def turn(i):
+                dout = edges[i][1] - edges[i][0]
+                # most clockwise first: smallest CCW angle in (-pi, pi]
+                ang = math.atan2(
+                    din[0] * dout[1] - din[1] * dout[0],
+                    din[0] * dout[0] + din[1] * dout[1],
+                )
+                # never U-turn straight back unless forced
+                straight_back = (
+                    _key(edges[i][1]) == rev_key and abs(ang) >= math.pi - 1e-12
+                )
+                return (1 if straight_back else 0, ang)
 
-                nxt = min(cands, key=turn)
+            if at_start and turn(start) <= min(turn(i) for i in cands):
+                break  # closing is the sharpest right turn available
+            nxt = min(cands, key=turn)
             used[nxt] = True
             cur = nxt
         else:

@@ -287,6 +287,75 @@ class TestSimhashMultiIndex:
         assert len(a) == 20  # C(6, 3) tables
 
 
+class TestPairSchemaAndTruncationObservability:
+    def test_empty_pair_result_keeps_schema(self, ray_session):
+        """Regression (r3 review): pyarrow group_by on an empty table
+        yields 0-chunk columns Ray treats as schemaless — an all-singleton
+        corpus must still return typed doc_a/doc_b columns."""
+        import pyarrow as pa
+        import ray.data
+
+        from georay.dedup import simhash_pairs
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["aaa bbb ccc", "ddd eee fff ggg",
+                              "hhh iii jjj kkk lll", "mmm nnn ooo ppp"], pa.string()),
+        })
+        out = simhash_pairs(ray.data.from_arrow(t))
+        # Dataset.to_pandas() drops columns for ANY 0-row dataset (Ray
+        # quirk), so the schema contract is asserted on the dataset
+        assert out.schema().names == ["doc_a", "doc_b"]
+        assert out.count() == 0
+
+    def test_truncation_reported_even_when_filter_rejects_all(self, ray_session):
+        """Regression (r3 review): a truncated bucket whose surviving
+        pairs all fail inline verification must still report truncation
+        (marker row) — zero would falsely claim the recall-1 guarantee
+        held."""
+        import pyarrow as pa
+        import ray.data
+
+        from georay.dedup import band_bucket_pairs
+
+        n = 10
+        t = pa.table({
+            "band": pa.array([0] * n, pa.int32()),
+            "key": pa.array([7] * n, pa.int64()),
+            "doc_id": pa.array(range(n), pa.int64()),
+            "sim": pa.array(range(n), pa.int64()),
+        })
+        out = band_bucket_pairs(
+            ray.data.from_arrow(t), max_bucket=4,
+            payload_col="sim", pair_filter=lambda a, b: np.zeros(len(a), bool),
+        ).to_pandas()
+        # all pairs rejected, bucket truncated -> exactly the marker row
+        assert len(out) == 1
+        assert out.doc_a.iloc[0] == -1 and bool(out.truncated.iloc[0])
+
+    def test_join_mode_drops_hot_bucket_with_marker(self, ray_session):
+        """Regression (r3 review): join mode must honour max_bucket (drop
+        + marker) instead of expanding a hot bucket quadratically."""
+        import pyarrow as pa
+        import ray.data
+
+        from georay.dedup import band_bucket_pairs
+
+        hot = 20
+        t = pa.table({
+            "band": pa.array([0] * hot + [1, 1], pa.int32()),
+            "key": pa.array([7] * hot + [9, 9], pa.int64()),
+            "doc_id": pa.array(list(range(hot)) + [100, 101], pa.int64()),
+        })
+        out = band_bucket_pairs(
+            ray.data.from_arrow(t), mode="join", max_bucket=4
+        ).to_pandas()
+        real = out[out.doc_a >= 0]
+        markers = out[out.doc_a < 0]
+        assert set(zip(real.doc_a, real.doc_b)) == {(100, 101)}
+        assert len(markers) == 1 and bool(markers.truncated.iloc[0])
+
+
 class TestJaccardVectorized:
     def test_matches_scalar_kernel(self, ray_session):
         """The vectorized integer-Jaccard verify must agree with the

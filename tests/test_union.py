@@ -54,6 +54,28 @@ class TestUnionWalk:
         assert _signed_area(u) < a_sq + a_tri  # strict: overlap removed once
         assert _signed_area(u) > max(a_sq, a_tri)
 
+    def test_point_contact_argument_order_independent(self):
+        # regression (r3 review): when the walk STARTS at a point-touch
+        # junction, closing on first return to the start vertex orphaned
+        # the other lobe — union(TRI, SQ) raised while union(SQ, TRI)
+        # worked; the closing turn must compete in the rightmost-turn rule
+        b = np.array([[2, 1], [4, 0], [4, 2], [2, 1]], float)
+        u1 = union_overlapping_rings(SQ_A, b)
+        u2 = union_overlapping_rings(b, SQ_A)
+        assert _signed_area(u1) == pytest.approx(6.0)
+        assert _signed_area(u2) == pytest.approx(6.0)
+        np.testing.assert_allclose(u1, u2)  # canonicalized output
+
+    def test_figure_eight_fold_order_independent(self):
+        from georay.geom.curves import merge_patch_rings
+
+        r1 = np.array([[0, 0], [2, 0], [1, 1], [0, 0]], float)
+        r2 = np.array([[1, 1], [0, 2], [2, 2], [1, 1]], float)
+        a1 = _signed_area(merge_patch_rings([r1, r2]))
+        a2 = _signed_area(merge_patch_rings([r2, r1]))
+        assert a1 == pytest.approx(2.0)
+        assert a2 == pytest.approx(2.0)
+
     def test_tangential_point_contact_unions(self):
         # B's corner exactly on A's edge (zero-area overlap): JTS unions
         # this robustly (r2 raised); the boundary revisits the touch
