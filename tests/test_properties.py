@@ -252,3 +252,69 @@ class TestVectorizedKernelsMatchNaive:
         u = union_overlapping_rings(A, B)
         overlap = (1 - dx) * (1 - dy)
         assert _signed_area(u) == pytest.approx(2.0 - overlap, rel=1e-9)
+
+    @given(
+        st.integers(min_value=0, max_value=6), st.integers(min_value=0, max_value=6),
+        st.integers(min_value=1, max_value=6), st.integers(min_value=1, max_value=6),
+        st.integers(min_value=0, max_value=6), st.integers(min_value=0, max_value=6),
+        st.integers(min_value=1, max_value=6), st.integers(min_value=1, max_value=6),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_union_integer_rects_inclusion_exclusion(self, x0, y0, w0, h0, x1, y1, w1, h1):
+        """Random INTEGER-coordinate rectangle pairs hit every degenerate
+        contact class (shared edges, vertex-on-edge, collinear partial
+        overlap, point-touch, containment, identity) — the overlay must
+        satisfy exact inclusion-exclusion whenever the union is a single
+        polygon, and be argument-order independent."""
+        from georay.geom.union import _signed_area, union_overlapping_rings
+
+        def rect(x, y, w, h):
+            return np.array(
+                [[x, y], [x + w, y], [x + w, y + h], [x, y + h], [x, y]], float
+            )
+
+        A = rect(x0, y0, w0, h0)
+        B = rect(x1, y1, w1, h1)
+        ox = max(0, min(x0 + w0, x1 + w1) - max(x0, x1))
+        oy = max(0, min(y0 + h0, y1 + h1) - max(y0, y1))
+        want = w0 * h0 + w1 * h1 - ox * oy
+        try:
+            u1 = union_overlapping_rings(A, B)
+        except ValueError as ex:
+            # genuinely disjoint rectangles (no bbox contact) must raise;
+            # anything touching must not
+            assert "disjoint" in str(ex)
+            assert (
+                max(x0, x1) > min(x0 + w0, x1 + w1)
+                or max(y0, y1) > min(y0 + h0, y1 + h1)
+            )
+            return
+        u2 = union_overlapping_rings(B, A)
+        assert _signed_area(u1) == pytest.approx(want, rel=1e-12)
+        assert _signed_area(u2) == pytest.approx(want, rel=1e-12)
+        np.testing.assert_allclose(u1, u2)  # canonicalized
+
+    @given(st.lists(st.integers(min_value=0, max_value=5), min_size=8, max_size=8))
+    @settings(max_examples=80, deadline=None)
+    def test_relate_line_line_symmetry_and_consistency(self, v):
+        """DE-9IM invariants on random integer polyline pairs:
+        INTERSECTS/DISJOINT complement, symmetric predicates symmetric,
+        CONTAINS/WITHIN transpose, EQUALS <=> CONTAINS both ways,
+        TOUCHES excludes interior contact."""
+        from georay.geom.linestring import LineString
+        from georay.geom.relate import relate_line_line
+
+        a = [(v[0], v[1]), (v[2], v[3])]
+        b = [(v[4], v[5]), (v[6], v[7])]
+        if a[0] == a[1] or b[0] == b[1]:
+            return  # degenerate zero-length segments out of scope
+        r = relate_line_line(LineString(a), LineString(b))
+        t = relate_line_line(LineString(b), LineString(a))
+        assert r["DISJOINT"] == (not r["INTERSECTS"])
+        for sym in ("INTERSECTS", "DISJOINT", "EQUALS", "TOUCHES", "OVERLAPS", "CROSSES"):
+            assert r[sym] == t[sym], sym
+        assert r["CONTAINS"] == t["WITHIN"]
+        assert r["WITHIN"] == t["CONTAINS"]
+        assert r["EQUALS"] == (r["CONTAINS"] and r["WITHIN"])
+        if r["TOUCHES"]:
+            assert not (r["CROSSES"] or r["OVERLAPS"] or r["EQUALS"])
