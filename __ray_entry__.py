@@ -463,6 +463,19 @@ def _q_dedup_resolve(sf_dir: str):
     return connected_components(_minhash_verified_pairs(sf_dir))
 
 
+def _q_dedup_apply(sf_dir: str):
+    """End-to-end dedup APPLICATION: corpus -> survivors only (every doc
+    whose resolution row names a different survivor is dropped) via a
+    distributed LEFT ANTI hash join — the step a training-data pipeline
+    ships after candidate generation + resolution.  Oracle: NOT IN over
+    the same recursive-closure resolution."""
+    from georay.dedup import apply_dedup, connected_components
+
+    res = connected_components(_minhash_verified_pairs(sf_dir))
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return apply_dedup(docs, res)
+
+
 def _q_embed_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs (>= 0.30): the BRUTE baseline,
     distributed as a map_batches sweep of the streaming vector dataset
@@ -1007,6 +1020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_resolve": _q_dedup_resolve,
+        "dedup_apply": _q_dedup_apply,
         "embed_dup_pairs": _q_embed_dup_pairs,
         "ann_cosine": _q_ann_cosine,
         "ann_ivf": _q_ann_ivf,
@@ -1253,6 +1267,18 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.u, w.r FROM e JOIN walk w ON e.v = w.u)
             SELECT u AS doc_id, MIN(r) AS survivor FROM walk GROUP BY u""",
+        "dedup_apply": f"""
+            WITH RECURSIVE {minhash_ctes},
+            p AS ({minhash_final}),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM p
+                  UNION ALL SELECT doc_b, doc_a FROM p),
+            walk(u, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+              UNION
+              SELECT e.u, w.r FROM e JOIN walk w ON e.v = w.u),
+            res AS (SELECT u AS doc_id, MIN(r) AS survivor FROM walk GROUP BY u)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM res WHERE survivor <> doc_id)""",
         "embed_lsh_pairs": f"""
             WITH planes(tbl, pl, v) AS (VALUES
             {_lsh_plane_sql_values()}),

@@ -1446,6 +1446,38 @@ def connected_components(pairs_ds, num_partitions: int | None = None, max_iter: 
     )
 
 
+def apply_dedup(docs_ds, resolution_ds, id_col: str = "doc_id",
+                num_partitions: int | None = None):
+    """Corpus -> SURVIVORS only: drop every doc whose resolution row
+    (:func:`connected_components` output) names a DIFFERENT survivor —
+    the final step a training-data dedup actually ships.  Distributed
+    LEFT ANTI hash join on the doc id: the corpus streams through the
+    join partitioned by id; only the duplicate-id table (tiny next to
+    the corpus — 8 bytes per dropped doc) shuffles with it.  Docs absent
+    from the resolution table (never in any candidate pair) pass through
+    untouched."""
+    import ray
+    import ray.data as _rd
+
+    if num_partitions is None:
+        num_partitions = max(4, min(int(ray.cluster_resources().get("CPU", 4)), 64))
+
+    def dupes_only(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"dup_id": pa.array([], pa.int64())})
+        keep = pc.not_equal(b.column("doc_id"), b.column("survivor"))
+        return pa.table({"dup_id": b.column("doc_id").filter(keep)})
+
+    dupes = resolution_ds.map_batches(dupes_only, batch_format="pyarrow").materialize()
+    if dupes.count() == 0:
+        # Ray's hash join chokes on an empty build side; nothing to drop
+        return docs_ds
+    return docs_ds.join(
+        dupes, join_type="left_anti", num_partitions=num_partitions,
+        on=(id_col,), right_on=("dup_id",),
+    )
+
+
 def cosine_pairs(vecs: np.ndarray, ids: np.ndarray, threshold: float) -> pa.Table:
     """Exact all-pairs cosine >= threshold within one bucket (or small side)."""
     norms = np.linalg.norm(vecs, axis=1)

@@ -440,3 +440,38 @@ class TestBandBucketModes:
             ray.data.from_arrow(t), mode="auto", tree_row_limit=1
         ).to_pandas()
         assert set(zip(auto.doc_a, auto.doc_b)) == set(zip(tree.doc_a, tree.doc_b))
+
+
+class TestApplyDedup:
+    def test_drops_non_survivors_keeps_rest(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from georay.dedup import apply_dedup
+
+        docs = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], pa.int64())})
+        res = pa.table({
+            "doc_id": pa.array([1, 2, 4], pa.int64()),
+            "survivor": pa.array([1, 1, 4], pa.int64()),
+        })
+        out = apply_dedup(
+            ray.data.from_arrow(docs), ray.data.from_arrow(res)
+        ).to_pandas()
+        # 2 is a duplicate of 1; 1 and 4 are survivors; 3, 5 untouched
+        assert sorted(out.doc_id) == [1, 3, 4, 5]
+
+    def test_empty_resolution_passthrough(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from georay.dedup import apply_dedup
+
+        docs = pa.table({"doc_id": pa.array([7, 8], pa.int64())})
+        res = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "survivor": pa.array([], pa.int64()),
+        })
+        out = apply_dedup(
+            ray.data.from_arrow(docs), ray.data.from_arrow(res)
+        ).to_pandas()
+        assert sorted(out.doc_id) == [7, 8]
