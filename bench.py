@@ -403,6 +403,13 @@ def scaling_run(args) -> dict:
         f"cpus_pinned@{hi}": pinned_hi,
         "hw_cpu_scaling_ceiling": round(ceiling, 3),
         "efficiency_vs_hw_ceiling": round(eff / ceiling, 3),
+        # validity check (BASELINE.md protocol): a ratio or ceiling above
+        # 1.0 means the host's effective core supply CHANGED between the
+        # legs — the run measures supply fluctuation, not engine
+        # scheduling, and should be rerun
+        "validity": (
+            "ok" if eff <= 1.0 and ceiling <= 1.0 else "host-supply-shift; rerun"
+        ),
     }
 
 

@@ -455,7 +455,10 @@ def _join_pairs_from_slim(slim, pair_filter=None, max_bucket=None):
     (detected by a vectorized groupby count; pathological all-identical
     shards only), logged, and flagged with a (-1, -1, truncated=True)
     marker row — the join analog of tree-mode truncation, so the default
-    mode='auto' honours the cap on whichever path it picks."""
+    mode='auto' honours the cap on whichever path it picks.  The guard
+    costs one extra shuffle of the slim (band, key) pairs — comparable
+    to the join's own build side; pass ``max_bucket=None`` to skip it
+    when the signature design already bounds bucket sizes."""
     from ray.data.aggregate import Count as _Count, Max as _Max
 
     has_payload = pair_filter is not None
