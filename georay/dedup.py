@@ -474,12 +474,23 @@ def _join_pairs_from_slim(slim, pair_filter=None, max_bucket=None):
                 {"band": t.column("band").cast(pa.int32()), "key": t.column("key")}
             )
 
+        # bounded driver-side pull: hot buckets are pathological by
+        # definition (all-identical shards); 100k of them means the
+        # upstream signature design is broken — fail loudly rather than
+        # OOM the driver
+        _HOT_LIMIT = 100_000
         hot = (
             slim.groupby(["band", "key"])
             .aggregate(_Count(alias_name="n"))
             .map_batches(hot_only, batch_format="pyarrow")
-            .take_all()
+            .take(_HOT_LIMIT + 1)
         )
+        if len(hot) > _HOT_LIMIT:
+            raise ValueError(
+                f"more than {_HOT_LIMIT} buckets exceed max_bucket={max_bucket}: "
+                "the banding/signature design is degenerate for this corpus; "
+                "fix the index (more key bits) or pass max_bucket=None"
+            )
         if hot:
             import logging
 
