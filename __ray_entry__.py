@@ -432,8 +432,35 @@ def _minhash_verified_pairs(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     banded = ds.map_batches(minhash_band_batch, batch_format="pyarrow")
-    cand = band_bucket_pairs(banded)
-    verified = jaccard_verify_pairs(cand, ds, k=3, threshold_num=1, threshold_den=2)
+    cand = band_bucket_pairs(banded).materialize()
+    # surface bucket truncation/thinning loudly instead of letting the
+    # flag column (and join-mode marker rows, doc_a < 0) silently vanish
+    # in the verification join
+    n_trunc = cand.map_batches(
+        lambda b: pa.table({"t": b.column("truncated").cast(pa.int32())}),
+        batch_format="pyarrow",
+    ).sum("t")
+    if n_trunc:
+        import logging
+
+        logging.getLogger("georay").warning(
+            "minhash candidate buckets hit the max_bucket cap (%s flagged "
+            "rows): pairs beyond the cap were not generated — near-dup "
+            "recall is partial for the affected clusters", n_trunc,
+        )
+
+    def real_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        b = b.filter(pa.compute.greater_equal(b.column("doc_a"), 0))
+        return b.select(["doc_a", "doc_b"])
+
+    verified = jaccard_verify_pairs(
+        cand.map_batches(real_pairs, batch_format="pyarrow"),
+        ds, k=3, threshold_num=1, threshold_den=2,
+    )
     out = verified.map_batches(
         lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     ).materialize()

@@ -451,14 +451,17 @@ def _join_pairs_from_slim(slim, pair_filter=None, max_bucket=None):
     — no join back against the corpus.
 
     ``max_bucket``: a self-join expands a hot bucket QUADRATICALLY, so
-    buckets with more than ``max_bucket`` rows are DROPPED entirely
-    (detected by a vectorized groupby count; pathological all-identical
-    shards only), logged, and flagged with a (-1, -1, truncated=True)
-    marker row — the join analog of tree-mode truncation, so the default
-    mode='auto' honours the cap on whichever path it picks.  The guard
-    costs one extra shuffle of the slim (band, key) pairs — comparable
-    to the join's own build side; pass ``max_bucket=None`` to skip it
-    when the signature design already bounds bucket sizes."""
+    buckets with more than ``max_bucket`` rows are THINNED to ~max_bucket
+    deterministically-hash-selected members (detected by a vectorized
+    groupby count; pathological all-identical shards only) — pairs among
+    the retained members still link the cluster, the same partial-loss
+    semantics as tree-mode truncation (the SELECTION differs: tree keeps
+    the lowest ids, join keeps a hash-chosen subset; both flag every
+    emitted pair from a thinned bucket and add a marker row per thinned
+    bucket).  The guard costs one extra shuffle of the slim (band, key)
+    pairs — comparable to the join's own build side; pass
+    ``max_bucket=None`` to skip it when the signature design already
+    bounds bucket sizes."""
     from ray.data.aggregate import Count as _Count, Max as _Max
 
     has_payload = pair_filter is not None
@@ -467,11 +470,13 @@ def _join_pairs_from_slim(slim, pair_filter=None, max_bucket=None):
         def hot_only(b: pa.Table) -> pa.Table:
             if b.num_rows == 0:
                 return pa.table(
-                    {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64())}
+                    {"band": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64())}
                 )
             t = b.filter(pc.greater(b.column("n"), max_bucket))
             return pa.table(
-                {"band": t.column("band").cast(pa.int32()), "key": t.column("key")}
+                {"band": t.column("band").cast(pa.int32()), "key": t.column("key"),
+                 "n": t.column("n").cast(pa.int64())}
             )
 
         # bounded driver-side pull: hot buckets are pathological by
@@ -497,30 +502,61 @@ def _join_pairs_from_slim(slim, pair_filter=None, max_bucket=None):
             import ray.data as _rd
 
             logging.getLogger("georay.dedup").warning(
-                "join-mode pair expansion dropped %d bucket(s) larger than "
-                "max_bucket=%d (quadratic self-join guard); pairs inside them "
-                "are NOT emitted — marker rows flag the loss",
+                "join-mode pair expansion thinned %d bucket(s) larger than "
+                "max_bucket=%d to ~max_bucket members each (quadratic "
+                "self-join guard); pairs among dropped members are NOT "
+                "emitted — flagged pairs + marker rows record the loss",
                 len(hot), max_bucket,
             )
 
-            hot_pairs = [(int(r["band"]), int(r["key"])) for r in hot]
+            M1 = np.uint64(0x9E3779B97F4A7C15)
+            M2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
-            def drop_hot(b: pa.Table) -> pa.Table:
+            def bucket_hash(band: np.ndarray, key: np.ndarray) -> np.ndarray:
+                h = key.astype(np.uint64) * M1
+                h ^= band.astype(np.uint64) + np.uint64(0x165667B19E3779F9)
+                h *= M2
+                h ^= h >> np.uint64(29)
+                return h
+
+            hb = np.asarray([int(r["band"]) for r in hot], np.int64)
+            hk = np.asarray([int(r["key"]) for r in hot], np.int64)
+            hn = np.asarray([int(r["n"]) for r in hot], np.int64)
+            hh = bucket_hash(hb, hk)
+            order = np.argsort(hh)
+            hot_hashes, hot_ns = hh[order], hn[order]
+
+            def thin_hot(b: pa.Table) -> pa.Table:
+                # ONE vectorized membership pass per batch (searchsorted
+                # against the broadcast hot-hash table), not a Python
+                # loop over hot buckets; a 2^-64 hash collision merely
+                # thins an innocent bucket slightly
                 if b.num_rows == 0:
-                    return b
+                    return b.append_column("hot", pa.array([], pa.int32()))
                 band = b.column("band").to_numpy()
                 key = b.column("key").to_numpy()
-                keep = np.ones(len(band), bool)
-                for hb, hk in hot_pairs:
-                    keep &= ~((band == hb) & (key == hk))
-                return b.filter(pa.array(keep))
+                h = bucket_hash(band, key)
+                idx = np.clip(np.searchsorted(hot_hashes, h), 0, len(hot_hashes) - 1)
+                is_hot = hot_hashes[idx] == h
+                keep = np.ones(len(h), bool)
+                if is_hot.any():
+                    n = hot_ns[idx].astype(np.uint64)
+                    ids = b.column("doc_a").to_numpy().astype(np.uint64)
+                    r = (ids * M1) >> np.uint64(17)
+                    keep = np.where(is_hot, (r % np.maximum(n, 1)) < np.uint64(max_bucket), True)
+                out = b.filter(pa.array(keep))
+                return out.append_column(
+                    "hot", pa.array(is_hot[keep].astype(np.int32), pa.int32())
+                )
 
-            slim = slim.map_batches(drop_hot, batch_format="pyarrow")
+            slim = slim.map_batches(thin_hot, batch_format="pyarrow")
+            # one marker row per thinned bucket, distinct (doc_b) so the
+            # downstream pair-distinct cannot collapse the count
             markers = _rd.from_arrow(
                 pa.table(
                     {
                         "doc_a": pa.array([-1] * len(hot), pa.int64()),
-                        "doc_b": pa.array([-1] * len(hot), pa.int64()),
+                        "doc_b": pa.array([-1 - i for i in range(len(hot))], pa.int64()),
                         "truncated": pa.array([True] * len(hot), pa.bool_()),
                     }
                 )
@@ -528,7 +564,10 @@ def _join_pairs_from_slim(slim, pair_filter=None, max_bucket=None):
 
     def rename_right(b: pa.Table) -> pa.Table:
         names = {"doc_a": "doc_b", "payload": "payload_b"}
-        return b.rename_columns([names.get(c, c) for c in b.column_names])
+        keep_cols = [c for c in b.column_names if c != "hot"]
+        return b.select(keep_cols).rename_columns(
+            [names.get(c, c) for c in keep_cols]
+        )
 
     right = slim.map_batches(rename_right, batch_format="pyarrow")
     import ray as _ray
@@ -549,11 +588,15 @@ def _join_pairs_from_slim(slim, pair_filter=None, max_bucket=None):
             keep = keep & pair_filter(
                 b.column("payload").to_numpy(), b.column("payload_b").to_numpy()
             )
+        if "hot" in b.column_names:  # pairs from thinned buckets are flagged
+            trunc = b.column("hot").to_numpy().astype(np.int32)[keep]
+        else:
+            trunc = np.zeros(int(keep.sum()), np.int32)
         return pa.table(
             {
                 "doc_a": pa.array(da[keep], pa.int64()),
                 "doc_b": pa.array(db[keep], pa.int64()),
-                "truncated": pa.array(np.zeros(int(keep.sum()), np.int32), pa.int32()),
+                "truncated": pa.array(trunc, pa.int32()),
             }
         )
 
@@ -592,10 +635,11 @@ def _tree_pairs_from_partials(partials, fanout: int, max_bucket: int, pair_filte
             pl_flat = batch.column("payloads").combine_chunks().flatten().to_numpy(
                 zero_copy_only=False
             )
+        n_markers = 0
         for i in np.nonzero(lengths >= 2)[0]:
             seg = flat[offsets[i] : offsets[i + 1]]
             ids, first = np.unique(seg, return_index=True)
-            truncated = len(ids) > max_bucket
+            truncated = max_bucket is not None and len(ids) > max_bucket
             if truncated:
                 ids = ids[:max_bucket]
                 first = first[:max_bucket]
@@ -609,10 +653,13 @@ def _tree_pairs_from_partials(partials, fanout: int, max_bucket: int, pair_filte
                 if len(ia) == 0:
                     if truncated:
                         # keep truncation observable even when the filter
-                        # rejects every surviving pair: a (-1,-1) marker
-                        # row carries the flag (consumers drop doc_a < 0)
+                        # rejects every surviving pair: a marker row per
+                        # bucket, doc_b made distinct so the downstream
+                        # pair-distinct cannot collapse the count
+                        # (consumers drop doc_a < 0)
+                        n_markers += 1
                         out_a.append(np.array([-1], np.int64))
-                        out_b.append(np.array([-1], np.int64))
+                        out_b.append(np.array([-n_markers], np.int64))
                         out_tr.append(np.array([True]))
                     continue
             out_a.append(ids[ia])
@@ -775,7 +822,7 @@ def bucket_pairs(group: pd.DataFrame, id_col: str = "doc_id", max_bucket: int = 
     (pathological all-identical shards); the cap is logged via a flag
     column rather than silently."""
     ids = np.unique(group[id_col].to_numpy())
-    truncated = len(ids) > max_bucket
+    truncated = max_bucket is not None and len(ids) > max_bucket
     if truncated:
         ids = ids[:max_bucket]
     if len(ids) < 2:
@@ -953,7 +1000,11 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 512,
     if verified.count() == 0:
         # Ray skips the UDF on empty blocks, so an all-empty dataset
         # cannot be re-typed by map_batches guards — pin the schema with
-        # a literal empty dataset (r3 review finding)
+        # a literal empty dataset (r3 review finding).  Zero rows also
+        # means zero markers, i.e. genuinely no truncation: the stats
+        # contract must still be honoured with an explicit 0
+        if stats_out is not None:
+            stats_out["truncated_candidate_pairs"] = 0
         return _rd.from_arrow(empty)
 
     trunc = verified.map_batches(
@@ -963,9 +1014,11 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 512,
     if stats_out is not None:
         # programmatic truncation contract (the warning below is for
         # humans): rows from buckets that hit the max_bucket cap —
-        # verified pairs from truncated buckets, plus one (-1,-1) marker
-        # per truncated bucket whose pairs were all hamming-rejected, so
-        # the count is nonzero WHENEVER the recall-1 guarantee was voided
+        # verified pairs from truncated buckets, plus one (-1, -k)
+        # marker per truncated bucket whose pairs were all
+        # hamming-rejected (distinct doc_b so the pair-distinct cannot
+        # collapse the count), so the count is nonzero WHENEVER the
+        # recall-1 guarantee was voided
         stats_out["truncated_candidate_pairs"] = int(trunc or 0)
     if trunc:
         import logging

@@ -333,15 +333,18 @@ class TestPairSchemaAndTruncationObservability:
         assert len(out) == 1
         assert out.doc_a.iloc[0] == -1 and bool(out.truncated.iloc[0])
 
-    def test_join_mode_drops_hot_bucket_with_marker(self, ray_session):
-        """Regression (r3 review): join mode must honour max_bucket (drop
-        + marker) instead of expanding a hot bucket quadratically."""
+    def test_join_mode_thins_hot_bucket_with_marker(self, ray_session):
+        """Regression (r3 review x2): join mode must honour max_bucket —
+        a hot bucket is THINNED to ~max_bucket hash-chosen members (its
+        cluster stays linked via the retained pairs, which are flagged
+        truncated) rather than expanded quadratically OR dropped outright
+        (dropping silently lost whole duplicate clusters)."""
         import pyarrow as pa
         import ray.data
 
         from georay.dedup import band_bucket_pairs
 
-        hot = 20
+        hot = 40
         t = pa.table({
             "band": pa.array([0] * hot + [1, 1], pa.int32()),
             "key": pa.array([7] * hot + [9, 9], pa.int64()),
@@ -352,8 +355,38 @@ class TestPairSchemaAndTruncationObservability:
         ).to_pandas()
         real = out[out.doc_a >= 0]
         markers = out[out.doc_a < 0]
-        assert set(zip(real.doc_a, real.doc_b)) == {(100, 101)}
+        cold = real[~real.truncated]
+        thinned = real[real.truncated]
+        assert set(zip(cold.doc_a, cold.doc_b)) == {(100, 101)}
+        # the hot cluster survives partially: >=1 pair among retained
+        # members, far fewer than the full C(40,2)=780 expansion
+        assert 1 <= len(thinned) < 100
+        assert thinned.doc_a.max() < hot and thinned.doc_b.max() < hot
         assert len(markers) == 1 and bool(markers.truncated.iloc[0])
+
+
+class TestMaxBucketNone:
+    def test_all_modes_accept_none(self, ray_session):
+        """Regression (r3 review): the docs advertise max_bucket=None to
+        disable the cap, but tree/groupby crashed with TypeError on the
+        None comparison."""
+        import pyarrow as pa
+        import ray.data
+
+        from georay.dedup import band_bucket_pairs
+
+        t = pa.table({
+            "band": pa.array([0] * 6, pa.int32()),
+            "key": pa.array([7] * 6, pa.int64()),
+            "doc_id": pa.array(range(6), pa.int64()),
+        })
+        want = {(a, b) for a in range(6) for b in range(6) if a < b}
+        for mode in ("tree", "groupby", "join", "auto"):
+            out = band_bucket_pairs(
+                ray.data.from_arrow(t), mode=mode, max_bucket=None
+            ).to_pandas()
+            assert set(zip(out.doc_a, out.doc_b)) == want, mode
+            assert not out.truncated.any(), mode
 
 
 class TestJaccardVectorized:
