@@ -1028,6 +1028,19 @@ def _q_events_hourly(sf_dir: str):
     )
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding (trailing 1-hour) window count per event over its
+    event_type — range-partitioned by (type, day) with OVERLAP
+    REPLICATION so no per-type funnel exists at corpus scale; oracle is
+    the SQL RANGE-frame window (ties included on both sides)."""
+    from georay.pipelines.events import events_sliding
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"]
+    )
+    return events_sliding(ds)
+
+
 def _q_events_window(sf_dir: str):
     """Windowed top-1: highest-value event per user, hash-partitioned on
     user with ONE vectorized multi-user kernel per partition (the same
@@ -1069,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "asof_purchase": _q_asof_purchase,
         "events_window": _q_events_window,
+        "events_sliding": _q_events_sliding,
         "events_hourly": _q_events_hourly,
         "geo_extract": _q_geo_extract,
         "tile_assign": _q_tile_assign,
@@ -1592,6 +1606,13 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY value DESC, ts, event_id) AS rn
               FROM events) WHERE rn = 1""",
+        "events_sliding": """
+            SELECT event_id,
+                   CAST(COUNT(*) OVER (
+                     PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS n_trailing
+            FROM events""",
         "geo_extract": f"{geo_pages} SELECT doc_id, lon, lat FROM geo",
         "tile_assign": f"{geo_pages} SELECT doc_id, {_CELL_SQL} AS cell FROM geo",
         "cell_agg": f"""{geo_pages}

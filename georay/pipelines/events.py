@@ -172,3 +172,100 @@ def window_top1(ds, num_partitions: int | None = None):
     """Dataset of events -> (user_id, event_id) of each user's
     highest-value event (windowed top-1 custom op)."""
     return _by_user_partition(ds, window_top1_partition, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# sliding (trailing) window via OVERLAP REPLICATION
+# ---------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+
+def sliding_count_partition(g: pd.DataFrame, window_us: int = HOUR_US) -> pd.DataFrame:
+    """ALL (event_type, day) groups of one hash partition -> per-event
+    trailing-window count (events of the same type with ts in
+    [ts - window, ts], ties included — SQL RANGE-frame semantics).
+    Vectorized: one sort, then per-(type, day) segment a pair of
+    ``searchsorted`` calls over the whole segment at once; replicated
+    overlap rows (own == 0) participate in the counts but emit nothing."""
+    if len(g) == 0:
+        return pd.DataFrame(
+            {"event_id": np.empty(0, np.int64), "n_trailing": np.empty(0, np.int64)}
+        )
+    g = g.sort_values(["event_type", "day", "ts", "event_id"], kind="stable")
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    own = g["own"].to_numpy().astype(bool)
+    ev = g["event_id"].to_numpy()
+    seg_key = (g["event_type"].astype("category").cat.codes.to_numpy().astype(np.int64)
+               * np.int64(1 << 32) + g["day"].to_numpy())
+    bounds = np.concatenate(
+        [[0], np.nonzero(seg_key[1:] != seg_key[:-1])[0] + 1, [len(g)]]
+    )
+    out_ids, out_counts = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        seg = ts[s:e]
+        hi = np.searchsorted(seg, seg, side="right")
+        lo = np.searchsorted(seg, seg - window_us, side="left")
+        m = own[s:e]
+        out_ids.append(ev[s:e][m])
+        out_counts.append((hi - lo)[m])
+    return pd.DataFrame(
+        {
+            "event_id": np.concatenate(out_ids).astype(np.int64),
+            "n_trailing": np.concatenate(out_counts).astype(np.int64),
+        }
+    )
+
+
+def events_sliding(ds, window_us: int = HOUR_US, num_partitions: int | None = None):
+    """Per-event TRAILING-window count (same event_type, ts within the
+    last ``window_us``) — the sliding-window custom op.
+
+    Scale design: a sliding window over `groupby(event_type)` would
+    funnel each type through one task (types are few, data per type is
+    the corpus).  Instead events are range-partitioned by (event_type,
+    DAY) with OVERLAP REPLICATION: each event inside the last ``window``
+    of its day is replicated into the next day's partition (flagged
+    own=0, counted but never emitted), so every partition holds every
+    row its own events' windows can reach.  Partition count grows with
+    the time span x types — no per-type funnel, no per-group dispatch
+    (one vectorized kernel per hash partition).  Requires
+    window <= 1 day (asserted)."""
+    import pyarrow as pa
+
+    if window_us > DAY_US:
+        raise ValueError("events_sliding requires window <= 1 day (overlap = 1 period)")
+    p = default_partitions(num_partitions)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        day = ts // DAY_US
+        tail = ts >= (day + 1) * DAY_US - window_us  # last window of the day
+        n = len(ts)
+        idx = np.concatenate([np.arange(n), np.nonzero(tail)[0]])
+        out_day = np.concatenate([day, day[tail] + 1])
+        own = np.concatenate([np.ones(n, np.int8), np.zeros(int(tail.sum()), np.int8)])
+        t = b.take(pa.array(idx, pa.int64()))
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(et).astype(np.uint64) * _MIX + out_day.astype(np.uint64)
+        h ^= h >> np.uint64(29)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "ts": t.column("ts"),
+                "day": pa.array(out_day, pa.int64()),
+                "own": pa.array(own, pa.int8()),
+                "part": pa.array((h % np.uint64(p)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: sliding_count_partition(g.drop(columns=["part"]), window_us),
+            batch_format="pandas",
+        )
+    )

@@ -131,3 +131,68 @@ class TestSessionizePartition:
     def test_empty(self):
         out = sessionize_partition(_df([]))
         assert len(out) == 0
+
+
+class TestSlidingWindow:
+    def _g(self, rows):
+        # rows: (event_id, type, ts_us, day, own)
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "event_type": [r[1] for r in rows],
+                "ts": pd.to_datetime([r[2] for r in rows], unit="us").astype("datetime64[us]"),
+                "day": [r[3] for r in rows],
+                "own": [r[4] for r in rows],
+            }
+        )
+
+    def test_counts_ties_and_boundary_inclusive(self):
+        from georay.pipelines.events import HOUR_US, sliding_count_partition
+
+        H = HOUR_US
+        g = self._g([
+            (1, "view", 0, 0, 1),
+            (2, "view", H, 0, 1),        # exactly 1h later: boundary INCLUDED
+            (3, "view", H, 0, 1),        # tie with 2
+            (4, "view", 3 * H, 0, 1),    # outside every prior window
+            (5, "click", H, 0, 1),       # different type: independent
+        ])
+        out = sliding_count_partition(g).set_index("event_id")["n_trailing"]
+        assert out[1] == 1
+        assert out[2] == 3  # events 1 (boundary), 2, 3 (tie)
+        assert out[3] == 3
+        assert out[4] == 1
+        assert out[5] == 1
+
+    def test_replicated_rows_count_but_do_not_emit(self):
+        from georay.pipelines.events import DAY_US, HOUR_US, sliding_count_partition
+
+        # event at the start of day 1 sees the replicated tail of day 0
+        g = self._g([
+            (10, "view", DAY_US - HOUR_US // 2, 1, 0),  # replicated (own=0)
+            (11, "view", DAY_US, 1, 1),
+        ])
+        out = sliding_count_partition(g)
+        assert sorted(out.event_id) == [11]
+        assert out.set_index("event_id")["n_trailing"][11] == 2
+
+    def test_end_to_end_matches_bruteforce(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from georay.pipelines.events import DAY_US, HOUR_US, events_sliding
+
+        rng = np.random.default_rng(12)
+        n = 400
+        ts = np.sort(rng.integers(0, 3 * DAY_US, n))  # spans day boundaries
+        types = rng.choice(["a", "b"], n)
+        t = pa.table({
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "event_type": pa.array(types),
+            "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+        })
+        out = events_sliding(ray.data.from_arrow(t)).to_pandas().set_index("event_id")
+        for i in rng.choice(n, 40, replace=False):
+            want = int(((types == types[i]) & (ts >= ts[i] - HOUR_US) & (ts <= ts[i])).sum())
+            assert out["n_trailing"][i] == want, i
