@@ -1028,6 +1028,38 @@ def _q_events_hourly(sf_dir: str):
     )
 
 
+def _q_events_topk(sf_dir: str):
+    """Windowed top-k (k=2): each user's two highest-value events with
+    rank — hash-partitioned vectorized kernel, no per-user dispatch."""
+    from georay.pipelines.events import window_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    return window_topk(ds, k=2)
+
+
+#: stratified sampling rates (basis points vs hash(doc_id) % 10000) —
+#: shared between the Ray query and its SQL mirror
+_SAMPLE_RATES_BP = {"en": 5000, "de": 2500}
+_SAMPLE_DEFAULT_BP = 1000
+
+
+def _q_doc_sample(sf_dir: str):
+    """Deterministic stratified corpus sampling (per-language rates in
+    basis points against a hashed doc id): a stateless streaming filter
+    whose decision is a pure function of the row, so re-runs and resumed
+    partitions select identical documents.  md5 hash backend — DuckDB
+    mirrors the exact predicate via md5_number_lower."""
+    from georay.sample import stratified_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return stratified_sample(
+        ds, _SAMPLE_RATES_BP, default_bp=_SAMPLE_DEFAULT_BP,
+        hash_impl="md5", keep_cols=("doc_id", "lang"),
+    )
+
+
 def _q_events_sliding(sf_dir: str):
     """Sliding (trailing 1-hour) window count per event over its
     event_type — range-partitioned by (type, day) with OVERLAP
@@ -1083,6 +1115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase": _q_asof_purchase,
         "events_window": _q_events_window,
         "events_sliding": _q_events_sliding,
+        "events_topk": _q_events_topk,
+        "doc_sample": _q_doc_sample,
         "events_hourly": _q_events_hourly,
         "geo_extract": _q_geo_extract,
         "tile_assign": _q_tile_assign,
@@ -1613,6 +1647,16 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS n_trailing
             FROM events""",
+        "events_topk": """
+            SELECT user_id, event_id, CAST(rn AS BIGINT) AS rank FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, ts, event_id) AS rn
+              FROM events) WHERE rn <= 2""",
+        "doc_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 <
+                  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END""",
         "geo_extract": f"{geo_pages} SELECT doc_id, lon, lat FROM geo",
         "tile_assign": f"{geo_pages} SELECT doc_id, {_CELL_SQL} AS cell FROM geo",
         "cell_agg": f"""{geo_pages}

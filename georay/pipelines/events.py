@@ -174,6 +174,46 @@ def window_top1(ds, num_partitions: int | None = None):
     return _by_user_partition(ds, window_top1_partition, num_partitions)
 
 
+def window_topk_partition(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    """ALL users of one hash partition -> each user's top-k events by
+    (value desc, ts, event_id) with their 1-based rank.  One vectorized
+    sort + per-user rank rebase over the whole partition."""
+    if len(g) == 0:
+        return pd.DataFrame(
+            {"user_id": np.empty(0, np.int64), "event_id": np.empty(0, np.int64),
+             "rank": np.empty(0, np.int64)}
+        )
+    g = g.sort_values(
+        ["user_id", "value", "ts", "event_id"],
+        ascending=[True, False, True, True],
+        kind="stable",
+    )
+    user = g["user_id"].to_numpy()
+    n = len(g)
+    start = np.ones(n, bool)
+    start[1:] = user[1:] != user[:-1]
+    first = np.nonzero(start)[0]
+    rank = np.arange(n, dtype=np.int64) - np.repeat(
+        first, np.diff(np.append(first, n))
+    ) + 1
+    m = rank <= k
+    return pd.DataFrame(
+        {
+            "user_id": user[m],
+            "event_id": g["event_id"].to_numpy()[m],
+            "rank": rank[m],
+        }
+    )
+
+
+def window_topk(ds, k: int = 2, num_partitions: int | None = None):
+    """Dataset of events -> (user_id, event_id, rank) of each user's k
+    highest-value events (windowed top-k custom op)."""
+    return _by_user_partition(
+        ds, lambda g: window_topk_partition(g, k), num_partitions
+    )
+
+
 # ---------------------------------------------------------------------------
 # sliding (trailing) window via OVERLAP REPLICATION
 # ---------------------------------------------------------------------------

@@ -196,3 +196,88 @@ class TestSlidingWindow:
         for i in rng.choice(n, 40, replace=False):
             want = int(((types == types[i]) & (ts >= ts[i] - HOUR_US) & (ts <= ts[i])).sum())
             assert out["n_trailing"][i] == want, i
+
+
+class TestWindowTopK:
+    def test_topk_ranks_and_ties(self):
+        from georay.pipelines.events import window_topk_partition
+
+        g = pd.DataFrame({
+            "user_id": [1, 1, 1, 2],
+            "event_id": [10, 11, 12, 20],
+            "ts": pd.to_datetime([5, 1, 1, 9], unit="s").astype("datetime64[us]"),
+            "value": [7.0, 9.0, 9.0, 3.0],
+        })
+        out = window_topk_partition(g, k=2)
+        got = set(zip(out.user_id, out.event_id, out["rank"]))
+        # user 1: two value-9 events tie, earlier ts is rank 1 -> both
+        # 11 (rank 1) and 12 (rank 2); event 10 (value 7) excluded
+        assert got == {(1, 11, 1), (1, 12, 2), (2, 20, 1)}
+
+    def test_empty(self):
+        from georay.pipelines.events import window_topk_partition
+
+        out = window_topk_partition(pd.DataFrame(
+            {"user_id": [], "event_id": [], "ts": [], "value": []}), k=3)
+        assert len(out) == 0
+
+
+class TestStratifiedSample:
+    def _t(self):
+        import pyarrow as pa
+
+        n = 2000
+        langs = np.where(np.arange(n) % 3 == 0, "en", np.where(np.arange(n) % 3 == 1, "de", "fr"))
+        return pa.table({
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "lang": pa.array(langs),
+        })
+
+    def test_deterministic_and_rate_accurate(self):
+        from georay.sample import stratified_sample_batch
+
+        t = self._t()
+        rates = {"en": 5000, "de": 2500}
+        a = stratified_sample_batch(t, rates, default_bp=1000)
+        b = stratified_sample_batch(t, rates, default_bp=1000)
+        assert a.equals(b)  # pure function of the row
+        df = a.to_pandas()
+        n_per = df.groupby("lang").size()
+        # ~667 docs per stratum: expected keeps 333/167/67, +-5 sigma
+        assert 240 <= n_per.get("en", 0) <= 430
+        assert 100 <= n_per.get("de", 0) <= 240
+        assert 20 <= n_per.get("fr", 0) <= 130
+
+    def test_subset_property(self):
+        """Raising a stratum's rate only ADDS documents (hash-threshold
+        sampling nests) — the property that makes rate sweeps reproducible."""
+        from georay.sample import stratified_sample_batch
+
+        t = self._t()
+        low = stratified_sample_batch(t, {"en": 2000}, default_bp=500).to_pandas()
+        high = stratified_sample_batch(t, {"en": 6000}, default_bp=1500).to_pandas()
+        assert set(low.doc_id) <= set(high.doc_id)
+
+    def test_zero_default_drops_unknown_strata(self):
+        from georay.sample import stratified_sample_batch
+
+        t = self._t()
+        out = stratified_sample_batch(t, {"en": 10000}, default_bp=0).to_pandas()
+        assert (out.lang == "en").all()
+        assert len(out) == (t.to_pandas().lang == "en").sum()
+
+    def test_md5_backend_matches_duckdb_predicate(self):
+        import duckdb
+
+        from georay.sample import stratified_sample_batch
+
+        t = self._t()
+        got = stratified_sample_batch(
+            t, {"en": 5000, "de": 2500}, default_bp=1000, hash_impl="md5"
+        ).to_pandas()
+        want = duckdb.sql(
+            "SELECT doc_id, lang FROM t WHERE "
+            "md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < "
+            "CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END"
+        ).df()
+        assert sorted(got.doc_id) == sorted(want.doc_id)
