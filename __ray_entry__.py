@@ -503,6 +503,25 @@ def _q_dedup_apply(sf_dir: str):
     return apply_dedup(docs, res)
 
 
+def _q_dedup_stream(sf_dir: str):
+    """ONLINE exact dedup through the sharded shared mutable seen-index
+    (raw Ray actors — the one op family the Dataset API can't express):
+    each content key is admitted exactly once across the whole stream as
+    batches arrive.  WHICH duplicate survives is arrival-order dependent,
+    so the deterministic (oracle-checked) surface is the admitted KEY
+    set, which must equal the corpus's distinct md5(text) set."""
+    from georay.dedup import md5_batch
+    from georay.state.seen_index import StreamDedupStage, make_seen_index
+
+    shards = make_seen_index()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    keyed = ds.map_batches(md5_batch, batch_format="pyarrow")
+    admitted = keyed.map_batches(
+        StreamDedupStage(shards, key_col="h"), batch_format="pyarrow"
+    )
+    return admitted.map_batches(lambda b: b.select(["h"]), batch_format="pyarrow")
+
+
 def _q_embed_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs (>= 0.30): the BRUTE baseline,
     distributed as a map_batches sweep of the streaming vector dataset
@@ -1093,6 +1112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "dedup_resolve": _q_dedup_resolve,
         "dedup_apply": _q_dedup_apply,
+        "dedup_stream": _q_dedup_stream,
         "embed_dup_pairs": _q_embed_dup_pairs,
         "ann_cosine": _q_ann_cosine,
         "ann_ivf": _q_ann_ivf,
@@ -1719,6 +1739,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ref_id, rank FROM ranked WHERE rank <= 3""",
         "text_invariant": f"WITH {PAGES_SQL_CTE} SELECT doc_id, md5(text) AS text_md5 FROM pages",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_stream": "SELECT DISTINCT md5(text) AS h FROM documents",
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
