@@ -1536,9 +1536,17 @@ def apply_dedup(docs_ds, resolution_ds, id_col: str = "doc_id",
         return pa.table({"dup_id": b.column("doc_id").filter(keep)})
 
     dupes = resolution_ds.map_batches(dupes_only, batch_format="pyarrow").materialize()
-    if dupes.count() == 0:
+    n_dupes = dupes.count()
+    if n_dupes == 0:
         # Ray's hash join chokes on an empty build side; nothing to drop
         return docs_ds
+    # normalize blocks: the resolution's sort-based aggregate emits
+    # SCHEMALESS empty blocks for empty partitions, Ray skips UDFs on
+    # empty blocks (so the typed-empty guard above never runs on them),
+    # and a join partition fed such a block fails with "no match for key
+    # field dup_id".  repartition rebuilds every block from actual rows;
+    # block count targets ~4M ids/block, bounded for tiny inputs.
+    dupes = dupes.repartition(max(1, min(n_dupes // 4_000_000 + 1, 10_000)))
     return docs_ds.join(
         dupes, join_type="left_anti", num_partitions=num_partitions,
         on=(id_col,), right_on=("dup_id",),

@@ -508,3 +508,31 @@ class TestApplyDedup:
             ray.data.from_arrow(docs), ray.data.from_arrow(res)
         ).to_pandas()
         assert sorted(out.doc_id) == [7, 8]
+
+    def test_resolution_with_schemaless_empty_blocks(self, ray_session):
+        """Regression: a resolution table produced by a sort aggregate
+        carries SCHEMALESS empty blocks for empty partitions, which Ray's
+        hash join rejects ('no match for key field dup_id') — apply_dedup
+        must normalize the build side."""
+        import pyarrow as pa
+        import ray.data
+        from ray.data.aggregate import Min
+
+        from georay.dedup import apply_dedup
+
+        # groupby over 8 partitions of 3 rows -> mostly-empty partitions
+        t = pa.table({"node": pa.array([2, 4, 5], pa.int64()),
+                      "label": pa.array([1, 4, 4], pa.int64())})
+        res = (
+            ray.data.from_arrow(t).repartition(8)
+            .groupby("node").aggregate(Min("label", alias_name="label"))
+            .map_batches(
+                lambda b: pa.table({"doc_id": b.column("node"), "survivor": b.column("label")})
+                if b.num_rows else b,
+                batch_format="pyarrow",
+            )
+        )
+        docs = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], pa.int64())})
+        out = apply_dedup(ray.data.from_arrow(docs), res).to_pandas()
+        # 2 (survivor 1) and 5 (survivor 4) are duplicates; 4 survives itself
+        assert sorted(out.doc_id) == [1, 3, 4]
