@@ -1230,6 +1230,10 @@ def cosine_verify_pairs(pairs_ds, vectors_ds, threshold: float,
         return _rd.from_arrow(
             pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())})
         )
+    # normalize blocks before joining: candidate tables produced by sort
+    # aggregates can carry SCHEMALESS empty blocks that crash the hash
+    # join's partition finalize (see apply_dedup)
+    pairs_ds = pairs_ds.repartition(max(1, min(rows // 4_000_000 + 1, 10_000)))
 
     def pack(batch: pa.Table) -> pa.Table:
         mat = np.ascontiguousarray(_list_to_matrix(batch.column(vec_col)))
@@ -1296,12 +1300,16 @@ def jaccard_verify_pairs(pairs_ds, docs_ds, k: int = 3, threshold_num: int = 1,
     against the documents dataset — the corpus is never broadcast.
     """
     pairs_ds = pairs_ds.materialize()
-    if pairs_ds.count() == 0:
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         import ray.data as _rd
 
         return _rd.from_arrow(
             pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
         )
+    # normalize blocks before joining (schemaless-empty-block guard; see
+    # apply_dedup)
+    pairs_ds = pairs_ds.repartition(max(1, min(n_pairs // 4_000_000 + 1, 10_000)))
     j1 = pairs_ds.join(
         docs_ds, join_type="inner", num_partitions=num_partitions,
         on=("doc_a",), right_on=(id_col,),
