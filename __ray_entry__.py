@@ -519,7 +519,11 @@ def _q_dedup_stream(sf_dir: str):
     admitted = keyed.map_batches(
         StreamDedupStage(shards, key_col="h"), batch_format="pyarrow"
     )
-    return admitted.map_batches(lambda b: b.select(["h"]), batch_format="pyarrow")
+    # materialize: the stage mutates the shared index, so the plan must
+    # execute exactly once even if the consumer iterates the result twice
+    return admitted.map_batches(
+        lambda b: b.select(["h"]), batch_format="pyarrow"
+    ).materialize()
 
 
 def _q_embed_dup_pairs(sf_dir: str):
@@ -1673,10 +1677,11 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY value DESC, ts, event_id) AS rn
               FROM events) WHERE rn <= 2""",
-        "doc_sample": """
+        "doc_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 <
-                  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END""",
+                  CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES_BP.items())}
+                  ELSE {_SAMPLE_DEFAULT_BP} END""",
         "geo_extract": f"{geo_pages} SELECT doc_id, lon, lat FROM geo",
         "tile_assign": f"{geo_pages} SELECT doc_id, {_CELL_SQL} AS cell FROM geo",
         "cell_agg": f"""{geo_pages}

@@ -109,19 +109,10 @@ def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
 
 def window_top1_partition(g: pd.DataFrame) -> pd.DataFrame:
     """ALL users of one hash partition -> highest-value event per user
-    (ties: earliest ts, then lowest event_id).  One vectorized
-    sort + drop_duplicates over the whole partition — the per-user
-    ``map_groups`` this replaces paid Ray's ~0.5 ms dispatch per user."""
-    if len(g) == 0:
-        return pd.DataFrame(
-            {"user_id": np.empty(0, np.int64), "event_id": np.empty(0, np.int64)}
-        )
-    g = g.sort_values(
-        ["user_id", "value", "ts", "event_id"],
-        ascending=[True, False, True, True],
-        kind="stable",
-    )
-    return g.drop_duplicates("user_id", keep="first")[["user_id", "event_id"]]
+    (ties: earliest ts, then lowest event_id): the k=1 special case of
+    :func:`window_topk_partition` with the rank column dropped — one
+    tie-break key list, no drift between the two kernels."""
+    return window_topk_partition(g, k=1)[["user_id", "event_id"]]
 
 
 def default_partitions(num_partitions: int | None = None) -> int:

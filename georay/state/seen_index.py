@@ -12,23 +12,38 @@ cross-pipeline admission control.
 
 Scale design:
 - The index is SHARDED over N actors by key hash; each shard holds a
-  plain Python set (C-level hashing, ~10M membership ops/s/actor).  The
-  per-shard actor is the serialization point — that is the NATURE of a
-  shared mutable index — and sharding provides the parallelism: size
+  plain Python dict (C-level hashing, ~10M ops/s/actor).  The per-shard
+  actor is the serialization point — that is the NATURE of a shared
+  mutable index — and sharding provides the parallelism: size
   ``n_shards`` to the cluster and each admit() call carries a whole
   batch's keys for that shard (one RPC per shard per batch, never per
   row).
+- RETRY SAFETY (at-least-once execution): Ray re-executes a map task
+  whose worker died after its admit() RPCs committed but before its
+  output block did.  A naive seen-SET would answer False on the retry
+  and silently DROP every row of the block.  Admission is therefore
+  recorded as ``key -> claim token`` where the token deterministically
+  identifies the claiming batch (hash of the batch's ids+keys): a
+  retried task re-presents the identical batch, gets the identical
+  token, and receives the identical admission mask.  Corollary:
+  re-running the byte-identical ingest over the same blocks replays the
+  same admissions (idempotent), while a DIFFERENT load carrying the
+  same content keys (new doc ids => new tokens) is rejected as
+  duplicate — exactly-once per content key across distinct loads.
 - WHICH duplicate survives depends on arrival order (first wins) and is
   therefore nondeterministic under distributed execution; the SET of
   admitted keys is exactly the distinct key set — the deterministic
   surface the driver oracle checks.  Pipelines that need a
   deterministic survivor use the batch `dedup_exact` path instead.
-- At 10^12 docs the in-memory set becomes a per-shard RocksDB/sorted
-  run; the actor interface (admit(batch_of_keys) -> bool mask) is the
+- At 10^12 docs the in-memory dict becomes a per-shard RocksDB/sorted
+  run; the actor interface (admit(keys, token) -> bool mask) is the
   stable contract.
 """
 
 from __future__ import annotations
+
+import hashlib
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -38,25 +53,22 @@ import ray
 
 @ray.remote
 class SeenShard:
-    """One shard of the seen-index: membership + insert for a batch of
-    keys, returning the is-new mask.  Keys are opaque hashables."""
+    """One shard of the seen-index: claim-or-check for a batch of keys,
+    returning the is-mine mask.  Keys are opaque hashables."""
 
     def __init__(self):
-        self._seen: set = set()
+        self._claims: dict = {}
 
-    def admit(self, keys: list) -> np.ndarray:
-        seen = self._seen
+    def admit(self, keys: list, token: int) -> np.ndarray:
+        claims = self._claims
         out = np.empty(len(keys), dtype=bool)
         for i, k in enumerate(keys):
-            if k in seen:
-                out[i] = False
-            else:
-                seen.add(k)
-                out[i] = True
+            prev = claims.setdefault(k, token)
+            out[i] = prev == token
         return out
 
     def size(self) -> int:
-        return len(self._seen)
+        return len(self._claims)
 
 
 def make_seen_index(n_shards: int | None = None):
@@ -71,8 +83,6 @@ def _shard_of(key, n_shards: int) -> int:
     """Deterministic cross-process routing — Python's builtin hash() is
     per-process randomized for strings, which would send the same key to
     DIFFERENT shards from different workers and admit it twice."""
-    import zlib
-
     if isinstance(key, int):
         return key % n_shards
     if isinstance(key, bytes):
@@ -80,11 +90,24 @@ def _shard_of(key, n_shards: int) -> int:
     return zlib.crc32(str(key).encode()) % n_shards
 
 
+def _batch_token(batch: pa.Table, keys: list) -> int:
+    """64-bit deterministic identity of THIS batch's claim: a retried
+    task (same block content) reproduces it; a different load carrying
+    the same keys does not."""
+    h = hashlib.md5()
+    for k in keys:
+        h.update(str(k).encode())
+        h.update(b"\x1f")
+    if "doc_id" in batch.column_names:
+        h.update(batch.column("doc_id").to_numpy().tobytes())
+    return int.from_bytes(h.digest()[:8], "little")
+
+
 class StreamDedupStage:
-    """map_batches callable: route each row's key to its shard, admit,
-    and keep only first-seen rows.  One admit RPC per touched shard per
-    batch; rows within a batch are deduped against the batch itself
-    first (the shard then arbitrates across batches / workers)."""
+    """map_batches callable: pre-dedup the batch's keys (first in-batch
+    occurrence wins), route unique keys to their shards, claim, and keep
+    only rows whose key this batch claimed.  One admit RPC per touched
+    shard per batch."""
 
     def __init__(self, shards, key_col: str = "h"):
         self.shards = shards
@@ -94,17 +117,25 @@ class StreamDedupStage:
         if batch.num_rows == 0:
             return batch
         keys = batch.column(self.key_col).to_pylist()
+        token = _batch_token(batch, keys)
+        # in-batch pre-dedup: ship each distinct key once; only the FIRST
+        # in-batch occurrence of an admitted key survives
+        uniq, first_idx = np.unique(np.asarray(keys, dtype=object), return_index=True)
         n_shards = len(self.shards)
-        shard_of = np.asarray([_shard_of(k, n_shards) for k in keys], dtype=np.int64)
-        keep = np.zeros(len(keys), dtype=bool)
+        shard_of = np.asarray([_shard_of(k, n_shards) for k in uniq], dtype=np.int64)
+        admitted = np.zeros(len(uniq), dtype=bool)
         futures = []
         idx_per_shard = []
         for s in range(n_shards):
             idx = np.nonzero(shard_of == s)[0]
             if len(idx) == 0:
                 continue
-            futures.append(self.shards[s].admit.remote([keys[i] for i in idx]))
+            futures.append(
+                self.shards[s].admit.remote([uniq[i] for i in idx], token)
+            )
             idx_per_shard.append(idx)
         for idx, mask in zip(idx_per_shard, ray.get(futures)):
-            keep[idx] = mask
+            admitted[idx] = mask
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        keep[first_idx[admitted]] = True
         return batch.filter(pa.array(keep))
