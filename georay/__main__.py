@@ -79,6 +79,44 @@ def cmd_resume(args):
     ray.shutdown()
 
 
+def cmd_dedup(args):
+    """End-to-end near-dup dedup over a documents parquet: MinHash+LSH
+    candidates -> exact integer-Jaccard verification -> connected-
+    components resolution -> LEFT ANTI survivor filter -> partitioned
+    survivors parquet (+ the resolution table for audit)."""
+    ray = _init_ray(args.num_cpus)
+    import ray.data
+
+    from georay.dedup import (
+        apply_dedup,
+        band_bucket_pairs,
+        connected_components,
+        jaccard_verify_pairs,
+        minhash_band_batch,
+    )
+
+    docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    banded = docs.map_batches(minhash_band_batch, batch_format="pyarrow")
+    cand = band_bucket_pairs(banded)
+    verified = jaccard_verify_pairs(
+        cand, docs, k=3,
+        threshold_num=args.threshold_num, threshold_den=args.threshold_den,
+    )
+    resolution = connected_components(verified).materialize()
+    survivors = apply_dedup(ray.data.read_parquet(args.input), resolution)
+    resolution.write_parquet(os.path.join(args.out, "resolution"))
+    survivors.write_parquet(os.path.join(args.out, "survivors"))
+    n_res = resolution.count()
+    n_out = survivors.count()
+    print(json.dumps({
+        "clustered_docs": n_res,
+        "survivors": n_out,
+        "dropped": int(resolution.to_pandas().eval("doc_id != survivor").sum()) if n_res else 0,
+        "out": args.out,
+    }))
+    ray.shutdown()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="georay")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -100,6 +138,14 @@ def main(argv=None):
     r.add_argument("--synthesize", action="store_true", help="input is a documents table; synthesize pages")
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_resume)
+
+    d = sub.add_parser("dedup", help="near-dup dedup: candidates -> verify -> resolve -> survivors")
+    d.add_argument("--input", required=True, help="documents parquet (file or directory)")
+    d.add_argument("--out", required=True)
+    d.add_argument("--threshold-num", type=int, default=1)
+    d.add_argument("--threshold-den", type=int, default=2, help="keep pairs with Jaccard >= num/den")
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_dedup)
 
     b = sub.add_parser("bench", help="run the repo bench harness (same flags as bench.py)")
     b.add_argument("rest", nargs=argparse.REMAINDER)
