@@ -72,3 +72,37 @@ class TestSourceFormats:
     def test_unknown_format_raises(self):
         with pytest.raises(ValueError):
             read_table("/tmp/x.xyz", fmt="xyz")
+
+
+class TestReadGml:
+    def test_reference_corpus_inventory(self, ray_session):
+        """Distributed GML source over the reference's own fixture corpus
+        (SURVEY §2.7: XML documents are the reference's only source
+        format): geometry files parse through the full G-04/EP-1 chain
+        inside map_batches; non-geometry docs are inventoried as error
+        rows instead of killing the job."""
+        from georay.sources import read_gml
+
+        out = read_gml("/root/reference/src/test/resources/gml").to_pandas()
+        ok = out[out.error.isna()]
+        assert len(ok) >= 30  # the geometry fixtures
+        assert {"Point", "Curve", "Surface", "Polygon", "LineString"} <= set(ok.kind)
+        # every parsed geometry has a sane 4326 envelope and coords
+        assert (ok.n_coords >= 1).all()
+        assert ok.minx.le(ok.maxx).all() and ok.miny.le(ok.maxy).all()
+        assert ok.minx.ge(-180).all() and ok.maxx.le(180).all()
+        # the known non-geometry docs (temporal, AIXM edge cases) are
+        # flagged, not silently dropped
+        assert out.error.notna().sum() >= 1
+        assert len(out) == len(ok) + out.error.notna().sum()
+
+    def test_strict_raises_on_mixed_corpus(self, ray_session):
+        import pytest
+        import ray.exceptions
+
+        from georay.sources import read_gml
+
+        with pytest.raises(Exception):
+            read_gml(
+                "/root/reference/src/test/resources/gml/temporal", strict=True
+            ).to_pandas()
