@@ -30,6 +30,17 @@ import pyarrow.compute as pc
 MERSENNE_P = np.uint64((1 << 61) - 1)
 
 
+
+def _normalize_blocks(ds, n_rows: int, rows_per_block: int = 4_000_000):
+    """Rebuild a materialized dataset's blocks from actual rows before a
+    hash join: sort-based aggregates emit SCHEMALESS empty blocks for
+    empty partitions, Ray skips UDFs on empty blocks (typed-empty guards
+    never run on them), and a join partition fed such a block fails with
+    "no match for key field" — repartition constructs every output block
+    from real rows, restoring the schema everywhere."""
+    return ds.repartition(max(1, min(n_rows // rows_per_block + 1, 10_000)))
+
+
 def segment_reduce(ufunc, values: np.ndarray, offsets: np.ndarray, empty_fill, axis0_shape=None):
     """Per-segment ``ufunc.reduceat`` that handles EMPTY segments correctly.
 
@@ -1230,10 +1241,7 @@ def cosine_verify_pairs(pairs_ds, vectors_ds, threshold: float,
         return _rd.from_arrow(
             pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())})
         )
-    # normalize blocks before joining: candidate tables produced by sort
-    # aggregates can carry SCHEMALESS empty blocks that crash the hash
-    # join's partition finalize (see apply_dedup)
-    pairs_ds = pairs_ds.repartition(max(1, min(rows // 4_000_000 + 1, 10_000)))
+    pairs_ds = _normalize_blocks(pairs_ds, rows)
 
     def pack(batch: pa.Table) -> pa.Table:
         mat = np.ascontiguousarray(_list_to_matrix(batch.column(vec_col)))
@@ -1307,9 +1315,7 @@ def jaccard_verify_pairs(pairs_ds, docs_ds, k: int = 3, threshold_num: int = 1,
         return _rd.from_arrow(
             pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
         )
-    # normalize blocks before joining (schemaless-empty-block guard; see
-    # apply_dedup)
-    pairs_ds = pairs_ds.repartition(max(1, min(n_pairs // 4_000_000 + 1, 10_000)))
+    pairs_ds = _normalize_blocks(pairs_ds, n_pairs)
     j1 = pairs_ds.join(
         docs_ds, join_type="inner", num_partitions=num_partitions,
         on=("doc_a",), right_on=(id_col,),
@@ -1548,13 +1554,7 @@ def apply_dedup(docs_ds, resolution_ds, id_col: str = "doc_id",
     if n_dupes == 0:
         # Ray's hash join chokes on an empty build side; nothing to drop
         return docs_ds
-    # normalize blocks: the resolution's sort-based aggregate emits
-    # SCHEMALESS empty blocks for empty partitions, Ray skips UDFs on
-    # empty blocks (so the typed-empty guard above never runs on them),
-    # and a join partition fed such a block fails with "no match for key
-    # field dup_id".  repartition rebuilds every block from actual rows;
-    # block count targets ~4M ids/block, bounded for tiny inputs.
-    dupes = dupes.repartition(max(1, min(n_dupes // 4_000_000 + 1, 10_000)))
+    dupes = _normalize_blocks(dupes, n_dupes)
     return docs_ds.join(
         dupes, join_type="left_anti", num_partitions=num_partitions,
         on=(id_col,), right_on=("dup_id",),
