@@ -4,6 +4,7 @@ Commands:
   flagship   run the end-to-end spatial pipeline and write outputs
   resume     checkpointed flagship over an input directory (skips finished
              partitions — the north_rule resumability path)
+  dedup      near-dup dedup: candidates -> verify -> resolve -> survivors
   bench      alias for the repo-root bench harness
 
 Owns its Ray session (scripts only — the library never calls ray.init).
@@ -95,23 +96,50 @@ def cmd_dedup(args):
         minhash_band_batch,
     )
 
+    import pyarrow as pa
+
     docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
     banded = docs.map_batches(minhash_band_batch, batch_format="pyarrow")
-    cand = band_bucket_pairs(banded)
+    cand = band_bucket_pairs(banded).materialize()
+    # surface partial-recall loudly: hot-bucket truncation/thinning flags
+    # (and join-mode marker rows) would otherwise vanish in the verify
+    # join and the CLI would print a clean success over incomplete dedup
+    n_trunc = cand.map_batches(
+        lambda b: pa.table({"t": b.column("truncated").cast(pa.int32())}),
+        batch_format="pyarrow",
+    ).sum("t") or 0
+    if n_trunc:
+        print(
+            f"warning: {n_trunc} candidate rows flagged truncated — near-dup "
+            "recall is partial for oversized clusters (raise max_bucket)",
+            file=sys.stderr,
+        )
+
+    def real_pairs(b):
+        if b.num_rows == 0:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        b = b.filter(pa.compute.greater_equal(b.column("doc_a"), 0))
+        return b.select(["doc_a", "doc_b"])
+
     verified = jaccard_verify_pairs(
-        cand, docs, k=3,
+        cand.map_batches(real_pairs, batch_format="pyarrow"), docs, k=3,
         threshold_num=args.threshold_num, threshold_den=args.threshold_den,
     )
     resolution = connected_components(verified).materialize()
-    survivors = apply_dedup(ray.data.read_parquet(args.input), resolution)
+    full_docs = ray.data.read_parquet(args.input)
+    n_docs = full_docs.count()  # parquet metadata count — no scan
+    survivors = apply_dedup(full_docs, resolution).materialize()
     resolution.write_parquet(os.path.join(args.out, "resolution"))
     survivors.write_parquet(os.path.join(args.out, "survivors"))
-    n_res = resolution.count()
     n_out = survivors.count()
     print(json.dumps({
-        "clustered_docs": n_res,
+        "input_docs": n_docs,
+        "clustered_docs": resolution.count(),
         "survivors": n_out,
-        "dropped": int(resolution.to_pandas().eval("doc_id != survivor").sum()) if n_res else 0,
+        "dropped": n_docs - n_out,
+        "truncated_candidates": int(n_trunc),
         "out": args.out,
     }))
     ray.shutdown()

@@ -62,6 +62,8 @@ def _geom_bbox(prepared):
         n = len(c) + sum(len(h) for h in obj.holes)
         return n, float(c[:, 0].min()), float(c[:, 1].min()), float(c[:, 0].max()), float(c[:, 1].max())
     # multi: union of members
+    if not obj:
+        raise ValueError("multi geometry with zero members (no extent)")
     parts = [_geom_bbox(p) for p in obj]
     ns, x0s, y0s, x1s, y1s = zip(*parts)
     return int(np.sum(ns)), min(x0s), min(y0s), max(x1s), max(y1s)

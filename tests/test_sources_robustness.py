@@ -92,17 +92,21 @@ class TestReadGml:
         assert ok.minx.le(ok.maxx).all() and ok.miny.le(ok.maxy).all()
         assert ok.minx.ge(-180).all() and ok.maxx.le(180).all()
         # the known non-geometry docs (temporal, AIXM edge cases) are
-        # flagged, not silently dropped
+        # flagged, not silently dropped: every file on disk gets a row
+        import glob
+        n_files = len(glob.glob("/root/reference/src/test/resources/gml/**/*.xml",
+                                recursive=True))
         assert out.error.notna().sum() >= 1
-        assert len(out) == len(ok) + out.error.notna().sum()
+        assert len(out) == n_files
 
     def test_strict_raises_on_mixed_corpus(self, ray_session):
         import pytest
-        import ray.exceptions
 
         from georay.sources import read_gml
 
-        with pytest.raises(Exception):
+        # the temporal docs are valid XML but not geometries: strict mode
+        # must re-raise the PARSE failure (not pass on any infra error)
+        with pytest.raises(Exception, match="[Uu]nsupported|[Uu]nknown|geometry|kind"):
             read_gml(
                 "/root/reference/src/test/resources/gml/temporal", strict=True
             ).to_pandas()
