@@ -1075,6 +1075,17 @@ def _q_events_topk(sf_dir: str):
     return window_topk(ds, k=2)
 
 
+def _q_doc_length_percentiles(sf_dir: str):
+    """Exact per-language length percentiles via the mergeable
+    value-histogram sketch (tree merge of per-block histograms — the
+    corpus is never sorted); integer values make the result exact, so
+    quantile_disc mirrors it bit-for-bit."""
+    from georay.sketch import grouped_percentiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return grouped_percentiles(ds, "lang", "n_chars", ps=(0.5, 0.9, 0.99))
+
+
 #: stratified sampling rates (basis points vs hash(doc_id) % 10000) —
 #: shared between the Ray query and its SQL mirror
 _SAMPLE_RATES_BP = {"en": 5000, "de": 2500}
@@ -1154,6 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_topk": _q_events_topk,
         "doc_sample": _q_doc_sample,
+        "doc_length_percentiles": _q_doc_length_percentiles,
         "events_hourly": _q_events_hourly,
         "geo_extract": _q_geo_extract,
         "tile_assign": _q_tile_assign,
@@ -1695,6 +1707,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 <
                   CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES_BP.items())}
                   ELSE {_SAMPLE_DEFAULT_BP} END""",
+        "doc_length_percentiles": """
+            SELECT lang, p, CAST(q AS BIGINT) AS value FROM (
+              SELECT lang, 0.5 AS p, quantile_disc(n_chars, 0.5) AS q FROM documents GROUP BY lang
+              UNION ALL
+              SELECT lang, 0.9, quantile_disc(n_chars, 0.9) FROM documents GROUP BY lang
+              UNION ALL
+              SELECT lang, 0.99, quantile_disc(n_chars, 0.99) FROM documents GROUP BY lang)""",
         "geo_extract": f"{geo_pages} SELECT doc_id, lon, lat FROM geo",
         "tile_assign": f"{geo_pages} SELECT doc_id, {_CELL_SQL} AS cell FROM geo",
         "cell_agg": f"""{geo_pages}
