@@ -1146,41 +1146,80 @@ def embed_lsh_pairs(ds, vectors_ref=None, threshold: float = 0.9, n_tables: int 
             cand, ds, threshold, vec_col=vec_col, id_col=id_col, num_partitions=num_partitions
         )
 
-    def verify_bucket(g):
+    # hash-partition the buckets: ONE kernel per partition verifies ALL
+    # of its buckets (a bucket's rows always hash together), replacing
+    # per-bucket map_groups dispatch (~0.5 ms x #buckets) with P group
+    # tasks whose inner per-bucket matmuls run in a plain loop
+    import ray as _ray
+
+    n_part = max(4, min(int(_ray.cluster_resources().get("CPU", 4)) * 2, 256))
+    PMIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = (b.column("key").to_numpy().astype(np.uint64)
+             + b.column("band").to_numpy().astype(np.uint64) * np.uint64(0x1F123BB5)) * PMIX
+        h ^= h >> np.uint64(29)
+        return b.append_column(
+            "part", pa.array((h % np.uint64(n_part)).astype(np.int32), pa.int32())
+        )
+
+    def verify_partition(g):
         import pandas as pd
 
+        g = g.sort_values(["band", "key"], kind="stable")
+        band = g["band"].to_numpy()
+        key = g["key"].to_numpy()
         ids = g["doc_id"].to_numpy()
-        uniq, first_idx = np.unique(ids, return_index=True)
-        truncated = len(uniq) > max_bucket
-        if truncated:  # pathological all-identical shard guard
-            import logging
+        vec_bin = g["vec_bin"].to_numpy()
+        seg = np.ones(len(g), bool)
+        seg[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        bounds = np.concatenate([np.nonzero(seg)[0], [len(g)]])
+        out_a, out_b, out_tr = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            uniq, first_idx = np.unique(ids[s:e], return_index=True)
+            truncated = len(uniq) > max_bucket
+            if truncated:  # pathological all-identical shard guard
+                import logging
 
-            logging.getLogger("georay.dedup").warning(
-                "embed LSH bucket truncated: %d unique vectors > max_bucket=%d "
-                "(band=%s key=%s) — verified pairs beyond the cap are dropped; "
-                "raise max_bucket or n_planes if this fires on real data",
-                len(uniq), max_bucket, g["band"].iloc[0], g["key"].iloc[0],
-            )
-            uniq = uniq[:max_bucket]
-            first_idx = first_idx[:max_bucket]
-        if len(uniq) < 2:
+                logging.getLogger("georay.dedup").warning(
+                    "embed LSH bucket truncated: %d unique vectors > max_bucket=%d "
+                    "(band=%s key=%s) — verified pairs beyond the cap are dropped; "
+                    "raise max_bucket or n_planes if this fires on real data",
+                    len(uniq), max_bucket, band[s], key[s],
+                )
+                uniq = uniq[:max_bucket]
+                first_idx = first_idx[:max_bucket]
+            if len(uniq) < 2:
+                continue
+            raw = b"".join(vec_bin[s:e][i] for i in first_idx)
+            vecs = np.frombuffer(raw, np.float64).reshape(len(uniq), -1)
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms[:, None]
+            sim = unit @ unit.T
+            ia, ib = np.nonzero(np.triu(sim >= threshold, k=1))
+            out_a.append(uniq[ia])
+            out_b.append(uniq[ib])
+            out_tr.append(np.full(len(ia), int(truncated), np.int32))
+        if not out_a:
             return pd.DataFrame(
                 {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64),
                  "truncated": np.empty(0, np.int32)}
             )
-        raw = b"".join(g["vec_bin"].iloc[i] for i in first_idx)
-        vecs = np.frombuffer(raw, np.float64).reshape(len(uniq), -1)
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms[:, None]
-        sim = unit @ unit.T
-        ia, ib = np.nonzero(np.triu(sim >= threshold, k=1))
         return pd.DataFrame(
-            {"doc_a": uniq[ia].astype(np.int64), "doc_b": uniq[ib].astype(np.int64),
-             "truncated": np.full(len(ia), int(truncated), np.int32)}
+            {"doc_a": np.concatenate(out_a).astype(np.int64),
+             "doc_b": np.concatenate(out_b).astype(np.int64),
+             "truncated": np.concatenate(out_tr)}
         )
 
-    pairs = banded.groupby(["band", "key"]).map_groups(verify_bucket, batch_format="pandas")
+    pairs = (
+        banded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: verify_partition(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )
 
     def _typed_pairs(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
