@@ -31,6 +31,17 @@ MERSENNE_P = np.uint64((1 << 61) - 1)
 
 
 
+
+def _cluster_partitions(mult: int = 1, cap: int = 32) -> int:
+    """Cluster-sized partition count (a fixed constant starves a big
+    cluster).  ``mult`` > 1 over-partitions for group-task kernels
+    (smaller per-task working sets); joins keep mult=1 (each partition
+    carries aggregator overhead)."""
+    import ray
+
+    return max(4, min(int(ray.cluster_resources().get("CPU", 4)) * mult, cap))
+
+
 def _normalize_blocks(ds, n_rows: int, rows_per_block: int = 4_000_000):
     """Rebuild a materialized dataset's blocks from actual rows before a
     hash join: sort-based aggregates emit SCHEMALESS empty blocks for
@@ -581,9 +592,7 @@ def _join_pairs_from_slim(slim, pair_filter=None, max_bucket=None):
         )
 
     right = slim.map_batches(rename_right, batch_format="pyarrow")
-    import ray as _ray
-
-    n_part = max(4, min(int(_ray.cluster_resources().get("CPU", 4)), 32))
+    n_part = _cluster_partitions()
     j = slim.join(right, join_type="inner", num_partitions=n_part, on=("band", "key"))
 
     def ordered(b: pa.Table) -> pa.Table:
@@ -1150,9 +1159,7 @@ def embed_lsh_pairs(ds, vectors_ref=None, threshold: float = 0.9, n_tables: int 
     # of its buckets (a bucket's rows always hash together), replacing
     # per-bucket map_groups dispatch (~0.5 ms x #buckets) with P group
     # tasks whose inner per-bucket matmuls run in a plain loop
-    import ray as _ray
-
-    n_part = max(4, min(int(_ray.cluster_resources().get("CPU", 4)) * 2, 256))
+    n_part = _cluster_partitions(mult=2, cap=256)
     PMIX = np.uint64(0x9E3779B97F4A7C15)
 
     def add_part(b: pa.Table) -> pa.Table:

@@ -20,23 +20,34 @@ is the smallest value whose cumulative count reaches ``ceil(p * n)``.
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def value_count_partial(batch: pa.Table, group_col: str, value_col: str) -> pa.Table:
     """Per-batch combine: one (group, value, n) row per distinct pair
-    (pyarrow C++ group_by) — the mergeable sketch partial."""
+    (pyarrow C++ group_by) — the mergeable sketch partial.  NULL values
+    are excluded (SQL aggregate semantics); a group whose values are all
+    NULL therefore emits NO output row (where SQL would emit a NULL
+    quantile) — documented divergence."""
     if batch.num_rows == 0:
         return pa.table(
             {group_col: pa.array([], pa.string()),
              value_col: pa.array([], pa.int64()),
              "n": pa.array([], pa.int64())}
         )
-    g = batch.select([group_col, value_col]).group_by([group_col, value_col]).aggregate(
-        [(value_col, "count")]
-    )
+    t = batch.select([group_col, value_col])
+    t = t.filter(pc.is_valid(t.column(value_col)))
+    if t.num_rows == 0:
+        return pa.table(
+            {group_col: pa.array([], pa.string()),
+             value_col: pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+    g = t.group_by([group_col, value_col]).aggregate([(value_col, "count")])
     return g.rename_columns([group_col, value_col, "n"])
 
 
@@ -69,7 +80,11 @@ def percentiles_from_counts(batch: pa.Table, ps, group_col: str, value_col: str)
         cum = sub["n"].to_numpy().cumsum()
         n = int(cum[-1])
         for p in ps:
-            k = math.ceil(p * n)
+            # rank in EXACT rational arithmetic: float ceil(p*n) lands one
+            # rank high whenever p*n is exactly representable as an
+            # integer in decimal but not in binary (0.55*100 ->
+            # 55.000000000000007 -> ceil 56; DuckDB returns rank 55)
+            k = math.ceil(Fraction(str(p)) * n)
             v = vals[int(np.searchsorted(cum, k, side="left"))]
             out_g.append(g)
             out_p.append(float(p))
@@ -87,20 +102,30 @@ def grouped_percentiles(ds, group_col: str, value_col: str,
     tree: per-block partial, coalesce-merge, one tiny final kernel.  The
     only data movement is two repartitions of already-combined
     histograms (rows bounded by groups × distinct values, NOT corpus
-    rows)."""
+    rows) — which is also the LIMIT of this operator: the merged
+    histogram must fit one task, so groups × distinct values should stay
+    ≤ a few million (quantize wide domains first).  The merged histogram
+    is materialized (it is the small result by design), which also pins
+    the output schema on an all-empty corpus (Ray skips UDFs on empty
+    blocks, so lazy typed-empty guards can never run there)."""
+    from georay.stages.aggregate import tree_merge
+
     h = ds.map_batches(
         lambda b: value_count_partial(b, group_col, value_col),
         batch_format="pyarrow", batch_size=None,
     )
-    h = h.repartition(fanout).map_batches(
-        lambda b: merge_value_counts(b, group_col, value_col),
-        batch_format="pyarrow", batch_size=None,
-    )
-    h = h.repartition(1).map_batches(
-        lambda b: merge_value_counts(b, group_col, value_col),
-        batch_format="pyarrow", batch_size=None,
-    )
-    return h.map_batches(
+    merged = tree_merge(
+        h, lambda b: merge_value_counts(b, group_col, value_col), fanout=fanout
+    ).materialize()
+    if merged.count() == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table({group_col: pa.array([], pa.string()),
+                      "p": pa.array([], pa.float64()),
+                      "value": pa.array([], pa.int64())})
+        )
+    return merged.map_batches(
         lambda b: percentiles_from_counts(b, ps, group_col, value_col),
         batch_format="pyarrow", batch_size=None,
     )

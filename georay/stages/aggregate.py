@@ -124,6 +124,21 @@ def final_cell_agg(ds, mode: str = "tree", fanout: int = 8,
     )
 
 
+def tree_merge(ds, merge_fn, fanout: int = 8):
+    """Generic coalesce-merge tree over already-combined partials:
+    repartition(fanout) -> merge -> repartition(1) -> merge.  All merging
+    is the caller's (associative+commutative) per-block kernel; the only
+    data movement is two repartitions of combined partials.  The final
+    level is ONE task — callers must bound partial-table cardinality
+    (see final_cell_agg mode='auto' for a measured guard)."""
+    m = ds.repartition(fanout).map_batches(
+        merge_fn, batch_format="pyarrow", batch_size=None
+    )
+    return m.repartition(1).map_batches(
+        merge_fn, batch_format="pyarrow", batch_size=None
+    )
+
+
 def salt_column(key: np.ndarray, ids: np.ndarray, hot_keys: dict, default_salt: int = 1) -> np.ndarray:
     """Compute a salt in [0, S(key)) per row: hot keys fan out to S
     subgroups (S from a sampled histogram), cold keys get salt 0.

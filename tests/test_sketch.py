@@ -55,3 +55,45 @@ class TestPercentileSketch:
                       "n": pa.array([1, 1, 1, 1], pa.int64())})
         out = percentiles_from_counts(h, (0.25, 0.5, 0.9), "lang", "v").to_pandas()
         assert out.set_index("p")["value"].to_dict() == {0.25: 10, 0.5: 20, 0.9: 40}
+
+    def test_nondefault_ps_exact_rank(self, ray_session):
+        """Regression (r3 review): float ceil(p*n) drifts one rank high
+        for decimals like 0.55 at n=100 — the rank must be computed in
+        exact rational arithmetic (DuckDB parity)."""
+        import duckdb
+        import ray.data
+
+        t = pa.table({"lang": pa.array(["x"] * 100),
+                      "n_chars": pa.array(np.arange(1, 101), pa.int64())})
+        from georay.sketch import grouped_percentiles
+
+        got = grouped_percentiles(
+            ray.data.from_arrow(t), "lang", "n_chars", ps=(0.55, 0.07)
+        ).to_pandas().set_index("p")["value"]
+        want = duckdb.sql(
+            "SELECT quantile_disc(n_chars, 0.55), quantile_disc(n_chars, 0.07) FROM t"
+        ).fetchone()
+        assert got[0.55] == want[0] == 55
+        assert got[0.07] == want[1] == 7
+
+    def test_all_null_group_omitted_not_crashed(self, ray_session):
+        import ray.data
+
+        from georay.sketch import grouped_percentiles
+
+        t = pa.table({"lang": pa.array(["en", "en", "xx"]),
+                      "n_chars": pa.array([5, 7, None], pa.int64())})
+        out = grouped_percentiles(ray.data.from_arrow(t), "lang", "n_chars",
+                                  ps=(0.5,)).to_pandas()
+        assert set(out.lang) == {"en"}  # all-NULL group omitted, no crash
+
+    def test_empty_corpus_keeps_schema(self, ray_session):
+        import ray.data
+
+        from georay.sketch import grouped_percentiles
+
+        t = pa.table({"lang": pa.array([], pa.string()),
+                      "n_chars": pa.array([], pa.int64())})
+        out = grouped_percentiles(ray.data.from_arrow(t), "lang", "n_chars")
+        assert out.schema().names == ["lang", "p", "value"]
+        assert out.count() == 0
