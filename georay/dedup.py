@@ -752,10 +752,13 @@ def band_bucket_pairs(
 
     ``max_bucket`` (pathological all-identical shards): tree/groupby
     modes TRUNCATE oversized buckets to the cap and flag the emitted
-    pairs; join mode DROPS them entirely (a self-join expands hot buckets
-    quadratically) and emits (-1, -1, truncated=True) marker rows, so the
-    loss is programmatically observable on every path the default
-    mode="auto" can pick.  Pass ``max_bucket=None`` to disable.
+    pairs; join mode THINS them to ~max_bucket hash-chosen members (a
+    self-join expands hot buckets quadratically) and emits one marker row
+    per thinned bucket — ``doc_a = -1`` with a DISTINCT negative
+    ``doc_b`` (-1, -2, …) so the downstream pair-distinct cannot collapse
+    the count; consumers filter ``doc_a < 0``, never the literal pair
+    (-1, -1).  The loss is programmatically observable on every path the
+    default mode="auto" can pick.  Pass ``max_bucket=None`` to disable.
 
     ``payload_col``/``pair_filter``: a fixed-width per-doc payload (e.g.
     the 64-bit simhash) rides the bucket shuffle and

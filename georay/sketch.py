@@ -27,6 +27,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _group_type(batch: pa.Table, group_col: str) -> pa.DataType:
+    """Typed-empty guards must carry the INPUT's group-column type — a
+    hard-coded pa.string() yields schema-mismatched empty blocks for
+    integer-keyed groups (r3 advisor finding)."""
+    idx = batch.schema.get_field_index(group_col)
+    return batch.schema.field(idx).type if idx >= 0 else pa.string()
+
+
 def value_count_partial(batch: pa.Table, group_col: str, value_col: str) -> pa.Table:
     """Per-batch combine: one (group, value, n) row per distinct pair
     (pyarrow C++ group_by) — the mergeable sketch partial.  NULL values
@@ -35,7 +43,7 @@ def value_count_partial(batch: pa.Table, group_col: str, value_col: str) -> pa.T
     quantile) — documented divergence."""
     if batch.num_rows == 0:
         return pa.table(
-            {group_col: pa.array([], pa.string()),
+            {group_col: pa.array([], _group_type(batch, group_col)),
              value_col: pa.array([], pa.int64()),
              "n": pa.array([], pa.int64())}
         )
@@ -43,7 +51,7 @@ def value_count_partial(batch: pa.Table, group_col: str, value_col: str) -> pa.T
     t = t.filter(pc.is_valid(t.column(value_col)))
     if t.num_rows == 0:
         return pa.table(
-            {group_col: pa.array([], pa.string()),
+            {group_col: pa.array([], _group_type(batch, group_col)),
              value_col: pa.array([], pa.int64()),
              "n": pa.array([], pa.int64())}
         )
@@ -55,7 +63,7 @@ def merge_value_counts(batch: pa.Table, group_col: str, value_col: str) -> pa.Ta
     """Associative+commutative merge of histogram partials."""
     if batch.num_rows == 0:
         return pa.table(
-            {group_col: pa.array([], pa.string()),
+            {group_col: pa.array([], _group_type(batch, group_col)),
              value_col: pa.array([], pa.int64()),
              "n": pa.array([], pa.int64())}
         )
@@ -70,9 +78,11 @@ def percentiles_from_counts(batch: pa.Table, ps, group_col: str, value_col: str)
     quantile_disc semantics."""
     if batch.num_rows == 0:
         return pa.table(
-            {group_col: pa.array([], pa.string()), "p": pa.array([], pa.float64()),
+            {group_col: pa.array([], _group_type(batch, group_col)),
+             "p": pa.array([], pa.float64()),
              "value": pa.array([], pa.int64())}
         )
+    gtype = _group_type(batch, group_col)
     df = batch.to_pandas().sort_values([group_col, value_col], kind="stable")
     out_g, out_p, out_v = [], [], []
     for g, sub in df.groupby(group_col, sort=False):
@@ -90,7 +100,7 @@ def percentiles_from_counts(batch: pa.Table, ps, group_col: str, value_col: str)
             out_p.append(float(p))
             out_v.append(int(v))
     return pa.table(
-        {group_col: pa.array(out_g, pa.string()),
+        {group_col: pa.array(out_g, gtype),
          "p": pa.array(out_p, pa.float64()),
          "value": pa.array(out_v, pa.int64())}
     )
@@ -120,8 +130,14 @@ def grouped_percentiles(ds, group_col: str, value_col: str,
     if merged.count() == 0:
         import ray.data as _rd
 
+        # derive the group-column type from the INPUT schema (the merged
+        # empty dataset may be schemaless — Ray skipped every UDF)
+        gtype = pa.string()
+        sch = ds.schema(fetch_if_missing=True)
+        if sch is not None and group_col in sch.names:
+            gtype = dict(zip(sch.names, sch.types))[group_col]
         return _rd.from_arrow(
-            pa.table({group_col: pa.array([], pa.string()),
+            pa.table({group_col: pa.array([], gtype),
                       "p": pa.array([], pa.float64()),
                       "value": pa.array([], pa.int64())})
         )

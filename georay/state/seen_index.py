@@ -90,16 +90,43 @@ def _shard_of(key, n_shards: int) -> int:
     return zlib.crc32(str(key).encode()) % n_shards
 
 
-def _batch_token(batch: pa.Table, keys: list) -> int:
+def _batch_token(batch: pa.Table, keys: list, id_col: str) -> int:
     """64-bit deterministic identity of THIS batch's claim: a retried
     task (same block content) reproduces it; a different load carrying
-    the same keys does not."""
+    the same keys does not.
+
+    The token MUST mix in a per-row identity column, not just the key
+    list: two DIFFERENT batches with identical key lists (e.g. single-row
+    batches of duplicate docs) would otherwise share a token and both be
+    admitted — silent duplicate admission (r3 advisor finding).  Callers
+    without a row-identity column cannot use claim-token retry safety and
+    get a hard error rather than a silently weaker index."""
+    if id_col not in batch.column_names:
+        raise ValueError(
+            f"StreamDedupStage requires id column {id_col!r} to build the "
+            f"retry-safe claim token (batch has {batch.column_names}); "
+            "pass id_col= naming a per-row identity column"
+        )
     h = hashlib.md5()
     for k in keys:
         h.update(str(k).encode())
         h.update(b"\x1f")
-    if "doc_id" in batch.column_names:
-        h.update(batch.column("doc_id").to_numpy().tobytes())
+    col = batch.column(id_col).combine_chunks()
+    t = col.type
+    if (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_temporal(t)
+    ):
+        # fixed-width: the numpy byte image is the logical content
+        h.update(col.to_numpy(zero_copy_only=False).tobytes())
+    else:
+        # variable-width (string/binary ids): hash logical values, not
+        # buffers — physical offsets may differ across reconstructions
+        for v in col.to_pylist():
+            h.update(str(v).encode())
+            h.update(b"\x1e")
     return int.from_bytes(h.digest()[:8], "little")
 
 
@@ -109,15 +136,16 @@ class StreamDedupStage:
     only rows whose key this batch claimed.  One admit RPC per touched
     shard per batch."""
 
-    def __init__(self, shards, key_col: str = "h"):
+    def __init__(self, shards, key_col: str = "h", id_col: str = "doc_id"):
         self.shards = shards
         self.key_col = key_col
+        self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
         keys = batch.column(self.key_col).to_pylist()
-        token = _batch_token(batch, keys)
+        token = _batch_token(batch, keys, self.id_col)
         # in-batch pre-dedup: ship each distinct key once; only the FIRST
         # in-batch occurrence of an admitted key survives
         uniq, first_idx = np.unique(np.asarray(keys, dtype=object), return_index=True)

@@ -67,6 +67,48 @@ class TestStreamDedup:
         out = StreamDedupStage(shards, key_col="h")(t)
         assert out.column("doc_id").to_pylist() == [10, 12]
 
+    def test_identical_key_lists_from_different_batches_not_both_admitted(
+        self, ray_session
+    ):
+        """Regression (r3 advisor): two DIFFERENT batches with identical
+        key lists (single-row batches of duplicate docs) must not share a
+        claim token — the second is a duplicate, not a retry replay."""
+        from georay.state.seen_index import StreamDedupStage, make_seen_index
+
+        shards = make_seen_index(n_shards=2)
+        stage = StreamDedupStage(shards, key_col="h")
+        b1 = pa.table({"doc_id": pa.array([1], pa.int64()), "h": pa.array(["k"])})
+        b2 = pa.table({"doc_id": pa.array([2], pa.int64()), "h": pa.array(["k"])})
+        assert stage(b1).num_rows == 1
+        assert stage(b2).num_rows == 0
+
+    def test_string_id_column_token_is_content_based(self, ray_session):
+        """Variable-width id columns hash logical values (buffer layout is
+        not stable across block reconstructions): same content replays,
+        different ids reject."""
+        from georay.state.seen_index import StreamDedupStage, make_seen_index
+
+        shards = make_seen_index(n_shards=2)
+        stage = StreamDedupStage(shards, key_col="h", id_col="url")
+        b1 = pa.table({"url": pa.array(["http://a"]), "h": pa.array(["k"])})
+        b2 = pa.table({"url": pa.array(["http://b"]), "h": pa.array(["k"])})
+        assert stage(b1).num_rows == 1
+        assert stage(b1).num_rows == 1  # retry replay of the same batch
+        assert stage(b2).num_rows == 0
+
+    def test_missing_id_column_raises(self, ray_session):
+        """No id column = no retry-safe token; hard error beats a silently
+        duplicate-admitting index."""
+        import pytest
+
+        from georay.state.seen_index import StreamDedupStage, make_seen_index
+
+        shards = make_seen_index(n_shards=2)
+        stage = StreamDedupStage(shards, key_col="h")
+        t = pa.table({"h": pa.array(["a", "b"])})
+        with pytest.raises(ValueError, match="id column"):
+            stage(t)
+
     def test_routing_is_process_stable(self):
         """Builtin hash() is per-process randomized for strings — routing
         must come from a deterministic hash or the same key admits twice
