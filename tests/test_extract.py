@@ -101,3 +101,47 @@ class TestReprojectStage:
         assert lat[0] == pytest.approx(49.3304, abs=1e-4)
         assert lon[1] == -123.2015 and lat[1] == 49.2756  # untouched
         assert out.column("epsg").to_pylist() == [4326, 4326]
+
+
+class TestInvalidUtf8:
+    """Real crawls contain invalid UTF-8 constantly — the decode must stay
+    vectorized for the valid bulk and replacement-decode only the rows
+    near actual bad bytes (bisection), never the whole column in Python."""
+
+    def test_mixed_valid_invalid_bytes(self):
+        from georay.extract import _to_utf8_strings
+
+        good = '<meta name="geo.position" content="49.28;-123.12">'.encode()
+        rows = [good] * 50 + [b"corrupt \xff\xfe page"] + [good] * 50 + [None, b"\x80bad"]
+        out = _to_utf8_strings(pa.array(rows, pa.binary()))
+        assert out.type == pa.string()
+        vals = out.to_pylist()
+        assert vals[0] == good.decode()
+        assert "�" in vals[50]  # replacement char, row preserved
+        assert vals[-2] is None
+        assert "�" in vals[-1]
+
+    def test_extraction_survives_corruption(self):
+        """A corrupt row must not poison extraction of its neighbours."""
+        good = '<meta name="geo.position" content="49.28;-123.12">'.encode()
+        arr = pa.chunked_array([pa.array([good, b"\xffjunk", good], pa.binary())])
+        lon, lat, epsg, has_geo = extract_geo_columns(arr)
+        assert has_geo.tolist() == [True, False, True]
+        assert lat[0] == pytest.approx(49.28)
+
+    def test_all_valid_fast_path_zero_python(self):
+        from georay.extract import _to_utf8_strings
+
+        arr = pa.array([b"plain ascii", "unicodé".encode()], pa.binary())
+        out = _to_utf8_strings(arr)
+        assert out.to_pylist() == ["plain ascii", "unicodé"]
+
+    def test_bisect_finds_many_scattered_bad_rows(self):
+        from georay.extract import _to_utf8_strings
+
+        rows = []
+        for i in range(300):
+            rows.append(b"\xfe bad %d" % i if i % 37 == 0 else b"ok %d" % i)
+        out = _to_utf8_strings(pa.array(rows, pa.binary())).to_pylist()
+        for i, v in enumerate(out):
+            assert ("�" in v) == (i % 37 == 0)
