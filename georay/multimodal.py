@@ -2,14 +2,18 @@
 
 Media travel as opaque ``binary`` columns with typed metadata columns
 (mime, width/height/duration when known).  Decode / feature-extraction /
-resize / frame-sampling are actor-pool ``map_batches`` stages whose Ray
-plumbing (schema, batch sizing, actor signature, output layout) is real
-and tested; the codec itself is STUBBED because no image/audio libraries
-exist in this container:
+resize / frame-sampling are actor-pool ``map_batches`` stages:
 
 - ``fake=True``  -> deterministic fake decode derived from the payload
-  bytes (stable across runs; exercises the full pipeline shape).
-- ``fake=False`` -> raises NotImplementedError with the dependency note.
+  bytes (stable across runs; exercises the full pipeline shape and the
+  DuckDB oracle).
+- ``fake=False`` -> REAL pure-numpy codecs (georay/codecs.py) for the
+  uncompressed formats this container can support without image/audio
+  libraries: PPM/PGM and 24-bit BMP images, PCM-16 WAV audio, and
+  concatenated-PPM streams as the frame-sampling "video" container.
+  Compressed formats (JPEG/PNG/MP4/...) raise ``ValueError`` naming the
+  payload — install a codec library and extend ``_decode_real`` for
+  those.
 
 Batch-size guidance: media rows are large — size ``batch_size`` so
 batch_bytes x concurrency stays under the worker heap budget
@@ -67,11 +71,6 @@ class ImageDecodeStage:
         self.fake = fake
         self.feature_dim = int(feature_dim)
         self.hash_impl = hash_impl
-        if not fake:
-            raise NotImplementedError(
-                "No image codec available in this environment; "
-                "install Pillow/opencv and implement _decode_real, or use fake=True."
-            )
 
     def _decode_fake(self, payload: bytes):
         h = _stable_u64_md5(payload) if self.hash_impl == "md5" else _stable_u64(payload)
@@ -81,9 +80,30 @@ class ImageDecodeStage:
         feat = rng.standard_normal(self.feature_dim).astype(np.float32)
         return w, ht, 3, float((h >> 20) & 0xFF) / 255.0, feat
 
+    def _decode_real(self, payload: bytes):
+        """Real decode of an uncompressed image payload (magic-sniffed):
+        PPM/PGM or 24-bit BMP -> (w, h, channels, mean Rec.601 luma,
+        strip-thumbnail feature)."""
+        from georay import codecs
+
+        if payload[:1] == b"P":
+            img = codecs.decode_pnm(payload)
+        elif payload[:2] == b"BM":
+            img = codecs.decode_bmp(payload)
+        else:
+            raise ValueError(
+                f"undecodable image payload (magic {payload[:4]!r}): fake=False "
+                "supports uncompressed PPM/PGM/BMP only in this environment"
+            )
+        ch = 1 if img.ndim == 2 else img.shape[2]
+        lm = codecs.luma(img)
+        feat = codecs.strip_feature(img, self.feature_dim)
+        return img.shape[1], img.shape[0], ch, float(lm.mean()), feat
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        rows = [self._decode_fake(p or b"") for p in payloads]
+        decode = self._decode_fake if self.fake else self._decode_real
+        rows = [decode(p or b"") for p in payloads]
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -97,14 +117,57 @@ class ImageDecodeStage:
 
 
 class ResizeStage:
-    """Stub resize: recomputes metadata dims; payload untouched in fake mode."""
+    """Resize stage with two input layouts:
+
+    - ``fake=True`` (metadata mode): recomputes the width/height columns
+      to fit ``max_side``; payload untouched.
+    - ``fake=False`` (pixel mode): input is MEDIA_SCHEMA batches; each
+      PPM/PGM/BMP payload is decoded, nearest-neighbour resampled to fit
+      ``max_side``, and re-encoded as PPM/PGM, emitting
+      (media_id, mime, payload, width, height).
+    """
 
     def __init__(self, max_side: int = 256, fake: bool = True):
         self.max_side = int(max_side)
-        if not fake:
-            raise NotImplementedError("resize requires an image library; use fake=True")
+        self.fake = fake
+
+    def _resize_real(self, batch: pa.Table) -> pa.Table:
+        from georay import codecs
+
+        out_payload, out_w, out_h, out_mime = [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            p = p or b""
+            if p[:1] == b"P":
+                img = codecs.decode_pnm(p)
+            elif p[:2] == b"BM":
+                img = codecs.decode_bmp(p)
+            else:
+                raise ValueError(
+                    f"undecodable image payload (magic {p[:4]!r}) in real resize"
+                )
+            h, w = img.shape[:2]
+            scale = min(1.0, self.max_side / max(w, h))
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            resized = codecs.resize_nn(img, nw, nh) if scale < 1.0 else img
+            out_payload.append(codecs.encode_ppm(resized))
+            out_w.append(nw)
+            out_h.append(nh)
+            out_mime.append(
+                "image/x-portable-graymap" if img.ndim == 2 else "image/x-portable-pixmap"
+            )
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "mime": pa.array(out_mime, pa.string()),
+                "payload": pa.array(out_payload, pa.binary()),
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            return self._resize_real(batch)
         w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
         h = batch.column("height").to_numpy(zero_copy_only=False).astype(np.float64)
         with np.errstate(invalid="ignore"):
@@ -119,13 +182,31 @@ class ResizeStage:
 
 
 class FrameSampleStage:
-    """Stub video frame sampler: emits ``n_frames`` child rows per media
-    row (flat_map layout: media_id, frame_idx, frame_payload)."""
+    """Video frame sampler: emits up to ``n_frames`` child rows per media
+    row (flat_map layout: media_id, frame_idx, frame_payload).
+
+    ``fake=False`` treats the payload as a concatenated-PPM stream (the
+    ``ffmpeg -f image2pipe -vcodec ppm`` byte layout): frames are located
+    by header parsing and ``n_frames`` evenly-spaced ones are emitted as
+    standalone PPM payloads; ``frame_idx`` is the index IN THE STREAM."""
 
     def __init__(self, n_frames: int = 4, fake: bool = True):
         self.n_frames = int(n_frames)
-        if not fake:
-            raise NotImplementedError("frame sampling requires a video library; use fake=True")
+        self.fake = fake
+
+    def _sample_real(self, mid, p: bytes, out_ids, out_idx, out_payload):
+        from georay import codecs
+
+        offsets = codecs.pnm_frame_offsets(p)
+        n = len(offsets)
+        take = min(self.n_frames, n)
+        # evenly spaced over the stream, always including the first frame
+        picks = np.unique((np.arange(take) * (n / take)).astype(np.int64))
+        for f in picks:
+            start, length = offsets[int(f)]
+            out_ids.append(mid)
+            out_idx.append(int(f))
+            out_payload.append(p[start : start + length])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_numpy()
@@ -133,6 +214,9 @@ class FrameSampleStage:
         out_ids, out_idx, out_payload = [], [], []
         for mid, p in zip(ids, payloads):
             p = p or b""
+            if not self.fake:
+                self._sample_real(mid, p, out_ids, out_idx, out_payload)
+                continue
             for f in range(self.n_frames):
                 out_ids.append(mid)
                 out_idx.append(f)
@@ -148,33 +232,41 @@ class FrameSampleStage:
 
 
 class AudioFeatureStage:
-    """Actor-pool stage: audio payload -> (duration, sample-rate, frame
-    features).  Codec stubbed (no audio libraries in this container);
-    fake mode derives a deterministic frame-feature matrix from the
-    payload digest — one row per fixed-hop frame, flat_map layout."""
+    """Actor-pool stage: audio payload -> per-frame spectral features
+    (flat_map layout: media_id, frame_idx, feature).
+
+    ``fake=False`` decodes PCM-16 WAV (pure-numpy RIFF parser,
+    georay/codecs.py), downmixes to mono, and computes real log
+    band-energy features per fixed-hop frame via rfft; fake mode derives
+    a deterministic frame-feature matrix from the payload digest."""
 
     def __init__(self, fake: bool = True, n_mels: int = 8, hop_ms: int = 1000):
         self.fake = fake
         self.n_mels = int(n_mels)
         self.hop_ms = int(hop_ms)
-        if not fake:
-            raise NotImplementedError(
-                "No audio codec available; install soundfile/librosa and "
-                "implement _decode_real, or use fake=True."
-            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_numpy()
         payloads = batch.column("payload").to_pylist()
         out_id, out_frame, out_feat = [], [], []
-        durations = []
         for mid, p in zip(ids, payloads):
+            if not self.fake:
+                from georay import codecs
+
+                rate, samples = codecs.decode_wav(p or b"")
+                feats = codecs.band_energies(
+                    samples.mean(axis=1), rate, self.hop_ms, self.n_mels
+                )
+                for f in range(len(feats)):
+                    out_id.append(mid)
+                    out_frame.append(f)
+                    out_feat.append(feats[f])
+                continue
             h = _stable_u64(p or b"")
             dur_ms = 1000 + (h & 0x3FFF)  # 1-17 s fake duration
             n_frames = max(1, dur_ms // self.hop_ms)
             rng = np.random.default_rng(h & 0xFFFFFFFF)
             feats = rng.standard_normal((n_frames, self.n_mels)).astype(np.float32)
-            durations.append((mid, dur_ms))
             for f in range(n_frames):
                 out_id.append(mid)
                 out_frame.append(f)

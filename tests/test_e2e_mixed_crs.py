@@ -91,9 +91,12 @@ class TestAudioStage:
         assert out1.num_rows >= 2
         assert len(out1.column("feature").to_pylist()[0]) == 4
 
-    def test_real_codec_stubbed(self):
-        with pytest.raises(NotImplementedError):
-            AudioFeatureStage(fake=False)
+    def test_real_codec_rejects_non_wav_payloads(self):
+        # fake=False is a real PCM-16 WAV decoder now (georay/codecs.py);
+        # non-WAV payloads fail loudly, not silently
+        media = synth_media_batch(pa.table({"doc_id": pa.array([1], pa.int64())}))
+        with pytest.raises(ValueError, match="RIFF"):
+            AudioFeatureStage(fake=False)(media)
 
 
 class TestGeoExtractActor:
