@@ -424,15 +424,15 @@ def _q_simhash_pairs(sf_dir: str):
 _MINHASH_CACHE: dict[str, Any] = {}
 
 
-def _minhash_verified_pairs(sf_dir: str):
-    cached = _MINHASH_CACHE.get(sf_dir)
+def _minhash_verified_pairs(sf_dir: str, mode: str = "auto"):
+    cached = _MINHASH_CACHE.get((sf_dir, mode))
     if cached is not None:
         return cached
     from georay.dedup import band_bucket_pairs, jaccard_verify_pairs, minhash_band_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     banded = ds.map_batches(minhash_band_batch, batch_format="pyarrow")
-    cand = band_bucket_pairs(banded).materialize()
+    cand = band_bucket_pairs(banded, mode=mode).materialize()
     # surface bucket truncation/thinning loudly instead of letting the
     # flag column (and join-mode marker rows, doc_a < 0) silently vanish
     # in the verification join
@@ -464,7 +464,7 @@ def _minhash_verified_pairs(sf_dir: str):
     out = verified.map_batches(
         lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     ).materialize()
-    _MINHASH_CACHE[sf_dir] = out
+    _MINHASH_CACHE[(sf_dir, mode)] = out
     return out
 
 
@@ -476,6 +476,19 @@ def _q_minhash_pairs(sf_dir: str):
     testdata, 32 bands x 4 rows) has miss probability ~(1-0.9^4)^32 ≈
     1e-15, so both sides emit the identical pair set."""
     return _minhash_verified_pairs(sf_dir)
+
+
+def _q_minhash_pairs_join(sf_dir: str):
+    """Same verified MinHash+LSH pair set as `minhash_pairs`, but with the
+    candidate stage FORCED onto the ``mode="join"`` scale route of
+    ``band_bucket_pairs`` — the distributed (band, key) self-hash-join
+    used at unbounded bucket-table cardinality (10^12-doc corpora), where
+    the tree merge's single final task would not fit.  At sf0.1 the auto
+    router always picks the tree path, so this query keeps the join route
+    continuously benchmarked (wall + stage counts in BENCH) and
+    oracle-checked; the pair set — and hence the SQL mirror — is
+    identical to `minhash_pairs` by construction."""
+    return _minhash_verified_pairs(sf_dir, mode="join")
 
 
 def _q_dedup_resolve(sf_dir: str):
@@ -1138,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_pairs_join": _q_minhash_pairs_join,
         "dedup_resolve": _q_dedup_resolve,
         "dedup_apply": _q_dedup_apply,
         "dedup_stream": _q_dedup_stream,
@@ -1381,6 +1395,8 @@ def oracle_sql() -> dict[str, str]:
                              ELSE x END AS BIGINT) AS fp_digest
             FROM agg""",
         "minhash_pairs": f"WITH {minhash_ctes}{minhash_final}",
+        # forced join-route candidate stage; identical verified pair set
+        "minhash_pairs_join": f"WITH {minhash_ctes}{minhash_final}",
         "dedup_resolve": f"""
             WITH RECURSIVE {minhash_ctes},
             p AS ({minhash_final}),
