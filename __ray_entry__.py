@@ -380,6 +380,43 @@ def _q_langid(sf_dir: str):
     return ds.map_batches(langid_batch, batch_format="pyarrow")
 
 
+def _q_text_normalize(sf_dir: str):
+    """Canonical text normalization (NFC + lower + whitespace collapse) —
+    all pyarrow C++ kernels; DuckDB shares the utf8proc + RE2 semantics,
+    so the normalized STRINGS themselves are oracle-compared byte for
+    byte, not just counts."""
+    from georay.text import normalize_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(normalize_batch, batch_format="pyarrow")
+
+
+def _q_top_ngrams(sf_dir: str):
+    """Global top-20 word trigrams: in-block combiner -> one groupby ->
+    per-block EXACT top-k prune -> small global sort.  Rank column
+    materialized from the sorted order so the oracle verifies the
+    ordering itself (ties break lexicographically)."""
+    from georay.text import top_ngrams
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = top_ngrams(ds, k=3, top=20).to_pandas().reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df
+
+
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (class prototypes): per-block
+    int64-quantized partial sums -> coalesce-merge tree -> one explode.
+    Exact-integer sums make the result order-independent; the single
+    final division is the only float op (see georay.ann.label_centroids)."""
+    from georay.ann import label_centroids
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+    return label_centroids(ds)
+
+
 def _q_fingerprint(sf_dir: str):
     """Winnowing fingerprints with the md5 hash backend, whose shingle
     hash DuckDB mirrors exactly via md5_number_lower — full value oracle."""
@@ -1147,6 +1184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": _q_token_stats,
         "langid": _q_langid,
+        "text_normalize": _q_text_normalize,
+        "top_ngrams": _q_top_ngrams,
+        "label_centroids": _q_label_centroids,
         "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1350,6 +1390,42 @@ def oracle_sql() -> dict[str, str]:
                  WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
                  {_langid_case_sql()} END AS lang_pred
             FROM scored""",
+        "text_normalize": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'), ' ')
+                     AS norm_text,
+                   CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'), ' '))
+                     AS BIGINT) AS n_norm_chars,
+                   trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'), ' ') <> text
+                     AS changed
+            FROM documents""",
+        "top_ngrams": """
+            WITH base AS (
+              SELECT list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+              FROM documents),
+            g AS (
+              SELECT unnest(CASE WHEN len(tk) >= 3
+                  THEN list_transform(range(1, len(tk)-1), i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])
+                  ELSE tk END) AS ngram
+              FROM base),
+            agg AS (
+              SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY ngram)
+            SELECT ngram, cnt,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, ngram) AS BIGINT) AS rank
+            FROM agg ORDER BY cnt DESC, ngram LIMIT 20""",
+        "label_centroids": """
+            WITH e AS (
+              SELECT label, unnest(range(1, len(embedding)+1)) AS pos,
+                     unnest(embedding) AS v
+              FROM embeddings),
+            q AS (
+              SELECT label, pos,
+                     CAST(FLOOR(CAST(v AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS qv
+              FROM e)
+            SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(qv) AS DOUBLE)/(1000000.0*COUNT(*)) AS centroid
+            FROM q GROUP BY label, pos""",
         "simhash": f"WITH {simhash_ctes}{simhash_final}",
         "simhash_pairs": f"""
             WITH {simhash_ctes},

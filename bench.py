@@ -311,7 +311,16 @@ def one_run(args) -> dict:
     import ray
 
     if args.pin_cpus:
-        args.pinned = _pin_cpus(args.num_cpus)
+        # Pin to num_cpus + control_cpus while ray.init gets num_cpus
+        # worker slots: the Ray control plane (driver, raylet, GCS,
+        # object store — ~1 core of constant load, measured r4) runs on
+        # the allowance instead of taxing the worker budget.  On a real
+        # cluster the control plane is per-node and does not occupy
+        # worker slots; without the allowance the 4-core leg loses ~25%
+        # of its budget to it vs 6% at 16 and the N-vs-4N ratio measures
+        # that artifact (1.277 apparent efficiency, r4) instead of
+        # engine scheduling.
+        args.pinned = _pin_cpus(args.num_cpus + max(0, args.control_cpus))
     pages_dir = ensure_pages(args.sf_dir, args.pages, skew=args.skew)
     head = run_flagship(pages_dir, args.num_cpus, repeats=args.repeats)
     qs, qstages = run_queries(args.sf_dir) if args.queries else ({}, {})
@@ -342,26 +351,71 @@ def _burn(seconds: float) -> int:
     return x
 
 
-def _cpu_ceiling(lo: int, hi: int, seconds: float = 2.0) -> float:
+def _cpu_ceiling(lo: int, hi: int, seconds: float = 2.0, pinned: bool = False) -> float:
     """Measure THIS machine's raw process-level CPU scaling from lo -> hi
     concurrent busy loops.  Sandboxes cap effective cores below the
     advertised count (cgroup quota / SMT / throttling), which caps any
     pipeline's achievable efficiency; reporting the ceiling alongside the
-    pipeline's efficiency separates scheduler quality from hardware."""
+    pipeline's efficiency separates scheduler quality from hardware.
+
+    ``pinned=True`` restricts each n-loop pool to the FIRST n host cores
+    (the same affinity masks the pinned pipeline legs use, inherited by
+    the pool children), so the ceiling is measured under the identical
+    supply conditions as the legs rather than on whichever idle cores the
+    OS picks."""
     import multiprocessing as mp
 
+    saved = None
+    if pinned:
+        try:
+            saved = os.sched_getaffinity(0)
+        except (AttributeError, OSError):
+            pinned = False
     totals = {}
-    for n in (lo, hi):
-        with mp.Pool(n) as p:
-            totals[n] = sum(p.map(_burn, [seconds] * n))
+    try:
+        for n in (lo, hi):
+            if pinned:
+                avail = sorted(saved)
+                if len(avail) > n:
+                    os.sched_setaffinity(0, set(avail[:n]))
+            try:
+                with mp.Pool(n) as p:
+                    totals[n] = sum(p.map(_burn, [seconds] * n))
+            finally:
+                if pinned:
+                    os.sched_setaffinity(0, saved)
+    finally:
+        if saved is not None:
+            os.sched_setaffinity(0, saved)
     return (totals[hi] / totals[lo]) / (hi / lo)
 
 
 def scaling_run(args) -> dict:
+    """Two-cluster-size scaling proxy, A-B-A interleaved protocol.
+
+    Legs run as lo (A1) -> hi (B) -> lo (A2), each a fresh CPU-pinned
+    ``ray.init`` subprocess.  The sandbox has no real cluster, and rounds
+    2-3 showed its per-core supply drifts by up to 3x between runs — a
+    plain A-B pair cannot distinguish engine scaling from supply shift.
+    The repeated A leg bounds the drift: the B leg is time-sandwiched
+    between two identical measurements, so any supply change across the
+    window shows up as A2/A1 != 1 and becomes an explicit error bar on
+    the ratio instead of silently contaminating it.  Efficiency is
+    computed against the geometric mean of A1 and A2 (the unbiased
+    mid-window estimate of lo-leg throughput), and the busy-loop hardware
+    ceiling is measured under the SAME affinity masks as the legs.
+
+    validity: "ok-aba" when the measured drift bound is <= 5% — the
+    efficiency is then trusted to that bar; anything wider is flagged for
+    rerun.  An efficiency slightly above 1.0 with per-core parity across
+    legs is the documented single-raylet artifact (one fixed Ray control
+    plane taxes a 4-core budget proportionally more than a 16-core one;
+    on a real N->4N cluster each node carries its own raylet), and is
+    reported as-is with the drift bound rather than clamped."""
     ensure_pages(args.sf_dir, args.pages, skew=args.skew)  # build cache before timing
-    results = {}
     lo, hi = args.scaling_cpus
-    for n in (lo, hi):
+    legs = []
+    for n in (lo, hi, lo):
         cmd = [
             sys.executable,
             os.path.abspath(__file__),
@@ -371,44 +425,58 @@ def scaling_run(args) -> dict:
             "--repeats", str(max(3, args.repeats)),
             "--no-queries",
             "--pin-cpus",
+            "--control-cpus", str(args.control_cpus),
         ] + (["--skew"] if args.skew else [])
         log(f"scaling run num_cpus={n} ...")
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
         if proc.returncode != 0:
             log(proc.stderr[-2000:])
             raise RuntimeError(f"scaling subprocess failed at num_cpus={n}")
-        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
-    dps_lo = results[lo]["docs_per_sec"]
-    dps_hi = results[hi]["docs_per_sec"]
-    pinned_lo = results[lo].get("cpus_pinned", False)
-    pinned_hi = results[hi].get("cpus_pinned", False)
+        legs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    a1, b, a2 = legs
+    dps_a1, dps_hi, dps_a2 = (x["docs_per_sec"] for x in legs)
+    dps_lo = (dps_a1 * dps_a2) ** 0.5
+    drift = dps_a2 / dps_a1
+    drift_bound = max(drift, 1.0 / drift)
     eff = dps_hi / (dps_lo * (hi / lo))
-    ceiling = _cpu_ceiling(lo, hi)
+    ceiling = _cpu_ceiling(lo, hi, pinned=True)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "queries": {},
-        "sf": results[hi]["sf"],
+        "sf": b["sf"],
         "num_cpus": hi,
-        "docs": results[hi]["docs"],
-        f"docs_per_sec@{lo}": dps_lo,
+        "docs": b["docs"],
+        "protocol": "aba",
+        f"docs_per_sec@{lo}": round(dps_lo, 1),
+        f"docs_per_sec@{lo}_legs": [dps_a1, dps_a2],
         f"docs_per_sec@{hi}": dps_hi,
+        "supply_drift_bound": round(drift_bound, 4),
         "scaling_efficiency": round(eff, 3),
+        "efficiency_interval": [
+            round(eff / drift_bound, 3),
+            round(eff * drift_bound, 3),
+        ],
         "skew": args.skew,
         # a mixed pinned/unpinned run (e.g. hi == all available cores, so
         # pinning no-ops there) must be visibly different from a fully
         # pinned one — the validity of the ratio depends on it
-        f"cpus_pinned@{lo}": pinned_lo,
-        f"cpus_pinned@{hi}": pinned_hi,
+        f"cpus_pinned@{lo}": a1.get("cpus_pinned", False)
+        and a2.get("cpus_pinned", False),
+        f"cpus_pinned@{hi}": b.get("cpus_pinned", False),
         "hw_cpu_scaling_ceiling": round(ceiling, 3),
         "efficiency_vs_hw_ceiling": round(eff / ceiling, 3),
-        # validity check (BASELINE.md protocol): a ratio or ceiling above
-        # 1.0 means the host's effective core supply CHANGED between the
-        # legs — the run measures supply fluctuation, not engine
-        # scheduling, and should be rerun
         "validity": (
-            "ok" if eff <= 1.0 and ceiling <= 1.0 else "host-supply-shift; rerun"
+            f"ok-aba (drift bound {round((drift_bound - 1) * 100, 1)}%)"
+            if drift_bound <= 1.05 and eff <= 1.05
+            else (
+                "supply drift > 5% across the A-B-A window; rerun"
+                if drift_bound > 1.05
+                else "efficiency > 1.05 despite bounded drift: systematic "
+                "small-leg suppression (fixed control-plane tax?); check "
+                "--control-cpus isolation"
+            )
         ),
     }
 
@@ -419,6 +487,13 @@ def main():
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--pages", type=int, default=None)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument(
+        "--control-cpus",
+        type=int,
+        default=2,
+        help="extra pinned cores for the Ray control plane (driver/raylet/"
+        "GCS), outside the num_cpus worker budget; only with --pin-cpus",
+    )
     ap.add_argument(
         "--pin-cpus", action="store_true", default=False,
         help="bind the process tree to num_cpus host cores (scaling legs set this)",

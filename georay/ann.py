@@ -264,3 +264,141 @@ class IVFKNN:
             out_ids.append(ids[0])
             out_sims.append(sims[0])
         return out_ids, out_sims
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids (the classic "class prototype" aggregate)
+# ---------------------------------------------------------------------------
+
+CENTROID_SCALE = 1_000_000
+
+
+def _quantize(M: np.ndarray) -> np.ndarray:
+    """float matrix -> int64 via floor(v * SCALE + 0.5): the one rounding
+    formula numpy and SQL FLOOR() evaluate identically (np.rint would be
+    ties-to-even vs SQL ROUND's half-away — a hash-parity landmine)."""
+    return np.floor(M * CENTROID_SCALE + 0.5).astype(np.int64)
+
+
+def _sum_by_label(labels: np.ndarray, n: np.ndarray, q: np.ndarray):
+    """(labels, per-row counts, per-row int64 vectors) -> unique labels,
+    summed counts, summed vectors.  Sort + reduceat: one vectorized pass."""
+    order = np.argsort(labels, kind="stable")
+    ls, ns, qs = labels[order], n[order], q[order]
+    bounds = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+    return (
+        ls[bounds],
+        np.add.reduceat(ns, bounds),
+        np.add.reduceat(qs, bounds, axis=0),
+    )
+
+
+def _centroid_rows(labels, counts, sums) -> pa.Table:
+    d = sums.shape[1] if sums.ndim == 2 else 0
+    return pa.table(
+        {
+            "label": pa.array(np.asarray(labels, np.int64), pa.int64()),
+            "n": pa.array(np.asarray(counts, np.int64), pa.int64()),
+            "qsum": pa.ListArray.from_arrays(
+                pa.array(np.arange(len(labels) + 1, dtype=np.int64) * d, pa.int32()),
+                pa.array(sums.ravel(), pa.int64()),
+            ),
+        }
+    )
+
+
+_CENTROID_EMPTY = pa.table(
+    {
+        "label": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+        "qsum": pa.array([], pa.list_(pa.int64())),
+    }
+)
+
+
+def _centroid_partial(
+    batch: pa.Table, vec_col: str = "embedding", label_col: str = "label"
+) -> pa.Table:
+    if batch.num_rows == 0:
+        return _CENTROID_EMPTY
+    M = _to_matrix(batch.column(vec_col))
+    labels = batch.column(label_col).to_numpy().astype(np.int64)
+    u, c, s = _sum_by_label(labels, np.ones(len(labels), np.int64), _quantize(M))
+    return _centroid_rows(u, c, s)
+
+
+def _centroid_merge(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return _CENTROID_EMPTY
+    labels = batch.column("label").to_numpy()
+    n = batch.column("n").to_numpy()
+    qcol = batch.column("qsum")
+    if isinstance(qcol, pa.ChunkedArray):
+        qcol = qcol.combine_chunks()
+    q = qcol.flatten().to_numpy(zero_copy_only=False).reshape(len(batch), -1)
+    u, c, s = _sum_by_label(labels, n, q)
+    return _centroid_rows(u, c, s)
+
+
+def label_centroids(emb_ds, vec_col: str = "embedding", label_col: str = "label"):
+    """Per-label centroid of an embedding column — the aggregate behind
+    class prototypes, IVF seeding, and cluster-quality monitoring.
+
+    Scale shape: per-block partial sums (labels x dim int64, one
+    vectorized reduceat per block — the combiner bounds shuffle volume at
+    #labels x dim x #blocks regardless of corpus size) -> coalesce-merge
+    tree (``stages.aggregate.tree_merge``; label cardinality is small by
+    definition, so the single final merge task holds #labels rows) ->
+    one explode to (label, pos, n, centroid) rows.
+
+    Determinism / oracle parity: vectors are quantized to int64 with
+    floor(v*1e6+0.5) so the sums are EXACT integers in any order; the
+    single final division to double is the only float op, identical in
+    numpy and SQL.  Mirror:
+
+        WITH e AS (SELECT label, unnest(range(1, len(embedding)+1)) AS pos,
+                          unnest(embedding) AS v FROM embeddings),
+             q AS (SELECT label, pos,
+                          CAST(FLOOR(CAST(v AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS qv
+                   FROM e)
+        SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+               COUNT(*) AS n, CAST(SUM(qv) AS DOUBLE)/(1000000.0*COUNT(*)) AS centroid
+        FROM q GROUP BY label, pos
+    """
+    from georay.stages.aggregate import tree_merge
+
+    partials = emb_ds.map_batches(
+        lambda b: _centroid_partial(b, vec_col, label_col), batch_format="pyarrow"
+    )
+    merged = tree_merge(partials, _centroid_merge)
+
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "centroid": pa.array([], pa.float64()),
+                }
+            )
+        labels = b.column("label").to_numpy()
+        n = b.column("n").to_numpy()
+        qcol = b.column("qsum")
+        if isinstance(qcol, pa.ChunkedArray):
+            qcol = qcol.combine_chunks()
+        q = qcol.flatten().to_numpy(zero_copy_only=False).reshape(len(b), -1)
+        d = q.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(labels, d), pa.int64()),
+                "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(b))),
+                "n": pa.array(np.repeat(n, d), pa.int64()),
+                "centroid": pa.array(
+                    (q.astype(np.float64) / (CENTROID_SCALE * n[:, None])).ravel(),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return merged.map_batches(explode, batch_format="pyarrow")

@@ -128,6 +128,78 @@ def _segment_from_xml(seg) -> dict:
     return {"type": type_map[name], "coords": _coords_of(seg)}
 
 
+#: document context stack for xlink:href resolution — parse_gml_file
+#: pushes {"dir": <document directory>, "root": <document element>} so
+#: ring members can reference curves by fragment or sibling file.  A
+#: plain stack (not contextvars): parsing is synchronous and single
+#: threaded within a task, and nested file resolution pushes/pops.
+_HREF_CTX: list[dict] = []
+_HREF_MAX_DEPTH = 8
+
+
+def _href_of(elem) -> str | None:
+    for k, v in elem.attrib.items():
+        if _local(k) == "href":
+            return v
+    return None
+
+
+def _elem_by_gml_id(root, frag: str):
+    for el in root.iter():
+        for k, v in el.attrib.items():
+            if _local(k) == "id" and v == frag:
+                return el
+    return None
+
+
+def _resolve_href(href: str):
+    """C-08 (CurveCoordinateListFactory.java:198-204): a gml:Ring curve
+    member may carry ``xlink:href`` instead of an in-line curve; the
+    reference unmarshals the URI.  At 10^12-doc scale a per-geometry
+    remote fetch is a non-starter, so this resolver accepts LOCAL
+    references only — ``#id`` fragments within the referencing document
+    and relative / ``file:`` paths (optionally ``path#id``) against the
+    referencing document's directory — and raises cleanly on remote
+    schemes.  Resolution happens where GML polygons are loaded (driver
+    side, before the broadcast), never inside a per-batch stage."""
+    import os.path
+    import urllib.parse
+
+    if len(_HREF_CTX) > _HREF_MAX_DEPTH:
+        raise ValueError(f"xlink:href resolution exceeded depth {_HREF_MAX_DEPTH} (cycle?)")
+    ctx = _HREF_CTX[-1] if _HREF_CTX else {}
+    parsed = urllib.parse.urlparse(href)
+    if parsed.scheme in ("http", "https", "ftp", "s3", "gs"):
+        raise ValueError(
+            f"remote xlink:href {href!r} is not dereferenced (no per-geometry "
+            "network fetch at scale); inline the member or ship the file "
+            "next to the referencing document"
+        )
+    if parsed.scheme not in ("", "file"):
+        raise ValueError(f"unsupported xlink:href scheme {parsed.scheme!r} in {href!r}")
+    path, frag = parsed.path, parsed.fragment
+    if not path:  # same-document fragment: #curve1
+        root = ctx.get("root")
+        if root is None:
+            raise ValueError(f"fragment href {href!r} outside a document context")
+        el = _elem_by_gml_id(root, frag)
+        if el is None:
+            raise ValueError(f"xlink:href fragment {href!r}: no element with gml:id={frag!r}")
+        return el
+    if not os.path.isabs(path):
+        base = ctx.get("dir")
+        if base is None:
+            raise ValueError(f"relative href {href!r} outside a document context")
+        path = os.path.join(base, path)
+    root = ET.parse(path).getroot()
+    el = _elem_by_gml_id(root, frag) if frag else root
+    if el is None:
+        raise ValueError(f"xlink:href {href!r}: no element with gml:id={frag!r} in {path}")
+    # member files resolve their own relative hrefs against THEIR directory
+    _HREF_CTX.append({"dir": os.path.dirname(path), "root": root})
+    return el
+
+
 def _ring_from_xml(ring, srs) -> dict:
     name = _local(ring.tag)
     epsg = srs["epsg"] if srs else None
@@ -137,7 +209,17 @@ def _ring_from_xml(ring, srs) -> dict:
     if name == "Ring":
         members = []
         for cm in _find_children(ring, "curveMember", "curveMembers"):
-            for geom in list(cm):
+            inline = list(cm)
+            href = _href_of(cm)
+            if not inline and href is not None:
+                depth = len(_HREF_CTX)
+                target = _resolve_href(href)
+                try:
+                    members.append(parse_geometry(target, inherited_epsg=srs))
+                finally:
+                    del _HREF_CTX[depth:]  # pop any context a file ref pushed
+                continue
+            for geom in inline:
                 members.append(parse_geometry(geom, inherited_epsg=srs))
         return {"kind": "Ring", "members": members, "epsg": epsg, "latlon": latlon}
     raise ValueError(f"Unsupported ring element: {name}")
@@ -234,9 +316,18 @@ def parse_geometry(elem, inherited_epsg=None) -> dict:
 
 
 def parse_gml_file(path: str) -> dict:
-    """Parse a GML fixture file's document element (G-04 analog)."""
+    """Parse a GML fixture file's document element (G-04 analog).
+
+    Establishes the document context for C-08 ``xlink:href`` ring-member
+    resolution (fragments and sibling files; see ``_resolve_href``)."""
+    import os.path
+
     root = ET.parse(path).getroot()
-    return parse_geometry(root)
+    _HREF_CTX.append({"dir": os.path.dirname(os.path.abspath(path)), "root": root})
+    try:
+        return parse_geometry(root)
+    finally:
+        _HREF_CTX.pop()
 
 
 def prepare_geometry(desc: dict, target_epsg: int = 4326):

@@ -161,3 +161,117 @@ def fingerprint_batch(
             "fp_digest": pa.array(digests.astype(np.int64), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# text normalization (NFC + lower + whitespace collapse)
+# ---------------------------------------------------------------------------
+
+def normalize_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Canonical text normalization for training corpora: Unicode NFC,
+    full lowercasing, internal whitespace collapsed to single spaces,
+    leading/trailing SPACES trimmed.  All vectorized kernels — polars'
+    Rust normalizer for the NFC step (pyarrow 16's ``utf8_normalize``
+    emits DECOMPOSED output even with ``form="NFC"`` — NFC input
+    ``0xe9`` comes back as ``0x65 0x301`` — so it cannot match any
+    composing engine byte for byte), then pyarrow utf8proc lower + RE2
+    collapse + trim.  No Python per row; the polars round-trip is
+    zero-copy in both directions for large-string Arrow columns.
+
+    Exact SQL mirror (DuckDB composes NFC and shares RE2 semantics):
+        trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'), ' ')
+
+    The trim step removes ' ' only (not arbitrary Unicode whitespace):
+    the RE2 collapse has already mapped every whitespace run — including
+    leading/trailing — to a single ASCII space, so trimming ' ' is
+    complete, and both engines agree on it byte for byte.
+    """
+    import polars as pl
+
+    text = batch.column(text_col).combine_chunks()
+    norm = pl.from_arrow(text).str.normalize("NFC").to_arrow().cast(pa.string())
+    norm = pc.utf8_lower(norm)
+    norm = pc.replace_substring_regex(norm, r"\s+", " ")
+    norm = pc.utf8_trim(norm, characters=" ")
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "norm_text": norm,
+            "n_norm_chars": pc.utf8_length(norm).cast(pa.int64()),
+            "changed": pc.not_equal(norm, text),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram counting (global heavy hitters)
+# ---------------------------------------------------------------------------
+
+def ngram_count_batch(batch: pa.Table, k: int = 3, text_col: str = "text") -> pa.Table:
+    """map_batches kernel: documents -> per-BLOCK (ngram, cnt) partial
+    counts.  Word k-grams via the shared vectorized shingle kernels
+    (georay.dedup): docs with >= k tokens emit their m-k+1 rolling
+    k-grams (occurrences, NOT per-doc distinct), shorter non-empty docs
+    fall back to their raw tokens — the same layout the MinHash oracle
+    already mirrors in SQL.  The in-block group_by is the combiner that
+    makes the downstream global groupby tractable: the shuffle moves
+    (distinct-ngram-per-block, count) rows, never one row per token.
+    """
+    from georay.dedup import _shingle_strings, _tokens_nonempty
+
+    text = batch.column(text_col).combine_chunks()
+    tok_np, offsets = _tokens_nonempty(text)
+    grams, _ = _shingle_strings(tok_np, offsets, k)
+    if len(grams) == 0:
+        return pa.table(
+            {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    tbl = pa.table({"ngram": pa.array(grams, pa.string())})
+    agg = tbl.group_by("ngram").aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "ngram": agg.column("ngram"),
+            "cnt": agg.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+def top_ngrams(docs_ds, k: int = 3, top: int = 20):
+    """Global top-``top`` word ``k``-grams by occurrence count.
+
+    Scale shape: in-block combiner (``ngram_count_batch``) -> ONE
+    hash/sort groupby over (ngram, cnt) partials -> per-block top-k
+    prune (each ngram lives in exactly ONE block after the groupby, so
+    per-block top-k then a global merge is EXACT, and the final sort
+    sees <= top x blocks rows instead of the whole distinct-ngram
+    table) -> global sort + limit.  Ties break lexicographically so the
+    result is deterministic and oracle-comparable.
+    """
+    import pyarrow.compute as _pc
+
+    agg = (
+        docs_ds.map_batches(
+            lambda b, k=k: ngram_count_batch(b, k=k), batch_format="pyarrow"
+        )
+        .groupby("ngram")
+        .sum("cnt")
+    )
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        b = pa.table({"ngram": b.column("ngram"), "cnt": b.column("sum(cnt)")})
+        idx = _pc.sort_indices(
+            b, sort_keys=[("cnt", "descending"), ("ngram", "ascending")]
+        )
+        return b.take(idx[:top])
+
+    return (
+        agg.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["cnt", "ngram"], descending=[True, False])
+        .limit(top)
+    )

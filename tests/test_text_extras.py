@@ -1,0 +1,126 @@
+"""Round-4 text/embedding operators: normalization, corpus n-grams,
+label centroids."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from georay.text import ngram_count_batch, normalize_batch, top_ngrams
+
+
+def _doc_table(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+
+
+class TestNormalize:
+    def test_nfc_lower_collapse_trim(self):
+        out = normalize_batch(
+            _doc_table(
+                [
+                    "  Hello   WORLD \t\n x ",
+                    "Café",  # NFD e + combining acute -> NFC é
+                    "already normal",
+                    "",
+                ]
+            )
+        )
+        assert out.column("norm_text").to_pylist() == [
+            "hello world x",
+            "café",
+            "already normal",
+            "",
+        ]
+        assert out.column("n_norm_chars").to_pylist() == [13, 4, 14, 0]
+        assert out.column("changed").to_pylist() == [True, True, False, False]
+
+    def test_null_text_propagates(self):
+        out = normalize_batch(_doc_table([None, "A"]))
+        assert out.column("norm_text").to_pylist() == [None, "a"]
+
+    def test_matches_duckdb_mirror(self):
+        import duckdb
+
+        texts = [
+            "  Mixed   CASE and　unicode  spaces ",
+            "Café CRÈME",
+            "tabs\there\nnewlines",
+            "",
+            "x",
+        ]
+        out = normalize_batch(_doc_table(texts))
+        con = duckdb.connect()
+        con.register("documents", _doc_table(texts))
+        sql = con.execute(
+            "SELECT trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'), ' ') "
+            "FROM documents ORDER BY doc_id"
+        ).fetchall()
+        assert out.column("norm_text").to_pylist() == [r[0] for r in sql]
+
+
+class TestNgramCounts:
+    def test_block_counts_are_occurrences_not_distinct(self):
+        out = ngram_count_batch(_doc_table(["a b c a b c a b c"]), k=3)
+        d = dict(zip(out.column("ngram").to_pylist(), out.column("cnt").to_pylist()))
+        # rolling trigrams of 9 tokens = 7 occurrences; 'a b c' occurs 3x
+        assert sum(d.values()) == 7
+        assert d["a b c"] == 3
+
+    def test_short_docs_fall_back_to_tokens(self):
+        out = ngram_count_batch(_doc_table(["one two", ""]), k=3)
+        d = dict(zip(out.column("ngram").to_pylist(), out.column("cnt").to_pylist()))
+        assert d == {"one": 1, "two": 1}
+
+    def test_top_ngrams_exact_and_ordered(self, ray_session):
+        import ray
+
+        texts = ["x y z w"] * 5 + ["a b c d e"] * 3 + ["p q"]
+        ds = ray.data.from_arrow(_doc_table(texts, ids=list(range(len(texts)))))
+        df = top_ngrams(ds, k=3, top=4).to_pandas()
+        # counts: 'x y z' 5, 'y z w' 5, 'a b c' 3, 'b c d' 3, 'c d e' 3,
+        # 'p'/'q' 1 -> top-4 with (cnt desc, ngram asc) tie-break:
+        assert list(df["ngram"]) == ["x y z", "y z w", "a b c", "b c d"]
+        assert list(df["cnt"]) == [5, 5, 3, 3]
+
+
+class TestLabelCentroids:
+    def test_exact_against_numpy(self, ray_session):
+        import ray
+
+        from georay.ann import label_centroids
+
+        rng = np.random.default_rng(7)
+        n, d = 200, 8
+        vecs = rng.normal(size=(n, d)).astype(np.float32)
+        labels = rng.integers(0, 3, size=n).astype(np.int32)
+        tbl = pa.table(
+            {
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+        # 4 blocks so partials + tree merge are actually exercised
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        out = label_centroids(ds).to_pandas().sort_values(["label", "pos"])
+        q = np.floor(vecs.astype(np.float64) * 1_000_000 + 0.5).astype(np.int64)
+        for lab in np.unique(labels):
+            rows = out[out["label"] == lab]
+            mask = labels == lab
+            expect = q[mask].sum(axis=0).astype(np.float64) / (
+                1_000_000.0 * mask.sum()
+            )
+            assert (rows["n"] == mask.sum()).all()
+            np.testing.assert_array_equal(rows["centroid"].to_numpy(), expect)
+        assert len(out) == 3 * d
+        assert list(out.columns) == ["label", "pos", "n", "centroid"]
+
+    def test_quantize_formula_is_floor_half_up(self):
+        from georay.ann import _quantize
+
+        # ±0.5 ties round UP (floor(x+0.5)), matching SQL FLOOR(v*S + 0.5)
+        v = np.array([[1.5e-6, -1.5e-6, 2.5e-6, -2.5e-6]])
+        np.testing.assert_array_equal(_quantize(v)[0], [2, -1, 3, -2])
