@@ -417,6 +417,77 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(ds)
 
 
+def _q_redact(sf_dir: str):
+    """PII-style pattern redaction (URL -> email -> long-digit-run, in
+    that order) with per-type match counts — pure pyarrow RE2 kernels;
+    DuckDB shares RE2, so the redacted STRINGS are oracle-compared byte
+    for byte."""
+    from georay.text import redact_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(redact_batch, batch_format="pyarrow")
+
+
+def _q_repetition(sf_dir: str):
+    """Gopher-style word-repetition quality stats (top-word/top-bigram
+    multiplicity, distinct fraction, token chars) as EXACT integers plus
+    a float-free keep verdict — one C groupby per batch, no per-doc
+    Python."""
+    from georay.text import repetition_stats_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
+#: fixed BM25 query (terms from the synthetic corpus vocabulary)
+_BM25_TERMS = ["table", "scan", "hash", "window", "spark"]
+
+
+def _q_bm25(sf_dir: str):
+    """BM25 top-10: pass 1 tree-merges (n_docs, n_tokens, df/term)
+    partials — len(terms)+1 rows reach the driver; pass 2 broadcasts the
+    stats and scores per batch, per-block top-k prune, small global
+    sort.  Per-term scores are int64-quantized before the per-doc sum,
+    so summation order cannot perturb the result (georay.search)."""
+    from georay.search import bm25_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(ds, _BM25_TERMS, top=10)
+
+
+def _q_decontam(sf_dir: str):
+    """Benchmark decontamination: docs sharing any word 8-gram with the
+    eval split (doc_id % 97 == 0 — small by contract) are flagged.  The
+    eval shingle-hash set is broadcast once via ray.put; the corpus pass
+    is a stateless streaming map_batches with a vectorized uint64 binary
+    search — no shuffle, no join (georay.decontam)."""
+    from georay.decontam import decontaminate
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ev = docs.map_batches(
+        lambda b: b.filter(
+            pa.array(b.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 0)
+        ),
+        batch_format="pyarrow",
+    )
+    return decontaminate(docs, ev, k=8)
+
+
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means (k=4, 2 assignment rounds): init = the
+    k smallest-id vectors; centroids broadcast per round; recompute via
+    int64-quantized partial sums + tree merge.  Per-dimension squared
+    distances are quantized to int64 BEFORE summing, so the argmin (and
+    its lowest-cluster tie-break) is exact and SQL-reproducible — the
+    oracle replays both rounds in CTEs (georay.ann.kmeans_assign)."""
+    from georay.ann import kmeans_assign
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_assign(ds, k=4, iters=2)
+
+
 def _q_fingerprint(sf_dir: str):
     """Winnowing fingerprints with the md5 hash backend, whose shingle
     hash DuckDB mirrors exactly via md5_number_lower — full value oracle."""
@@ -1187,6 +1258,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": _q_text_normalize,
         "top_ngrams": _q_top_ngrams,
         "label_centroids": _q_label_centroids,
+        "redact": _q_redact,
+        "repetition": _q_repetition,
+        "bm25": _q_bm25,
+        "decontam": _q_decontam,
+        "kmeans": _q_kmeans,
         "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1426,6 +1502,138 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(qv) AS DOUBLE)/(1000000.0*COUNT(*)) AS centroid
             FROM q GROUP BY label, pos""",
+        "redact": """
+            WITH s0 AS (
+              SELECT doc_id, text,
+                CAST(len(regexp_extract_all(text, 'https?://\\S+')) AS BIGINT) AS n_url,
+                regexp_replace(text, 'https?://\\S+', '<URL>', 'g') AS t
+              FROM documents),
+            s1 AS (
+              SELECT doc_id, text, n_url,
+                CAST(len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+              FROM s0),
+            s2 AS (
+              SELECT doc_id, text, n_url, n_email,
+                CAST(len(regexp_extract_all(t, '[0-9]{6,}')) AS BIGINT) AS n_num,
+                regexp_replace(t, '[0-9]{6,}', '<NUM>', 'g') AS t
+              FROM s1)
+            SELECT doc_id, t AS red_text, n_url, n_email, n_num,
+                   t <> text AS changed
+            FROM s2""",
+        "repetition": """
+            WITH base AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+              FROM documents),
+            w AS (SELECT doc_id, unnest(tk) AS w FROM base),
+            wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+            pw AS (
+              SELECT doc_id, MAX(c) AS top_word_cnt, COUNT(*) AS n_unique,
+                     SUM(c) AS n_words, SUM(c * length(w)) AS n_token_chars
+              FROM wc GROUP BY doc_id),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(tk)), i -> tk[i]||' '||tk[i+1])) AS b
+              FROM base WHERE len(tk) >= 2),
+            bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+            pb AS (SELECT doc_id, MAX(c) AS top_bigram_cnt FROM bc GROUP BY doc_id)
+            SELECT base.doc_id,
+                   CAST(COALESCE(pw.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(pw.n_unique, 0) AS BIGINT) AS n_unique,
+                   CAST(COALESCE(pw.top_word_cnt, 0) AS BIGINT) AS top_word_cnt,
+                   CAST(COALESCE(pb.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+                   CAST(COALESCE(pw.n_token_chars, 0) AS BIGINT) AS n_token_chars,
+                   (5*COALESCE(pw.top_word_cnt, 0) <= COALESCE(pw.n_words, 0))
+                     AND (2*COALESCE(pw.n_unique, 0) >= COALESCE(pw.n_words, 0)) AS keep
+            FROM base LEFT JOIN pw USING (doc_id) LEFT JOIN pb USING (doc_id)""",
+        "bm25": """
+            WITH tkt AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+              FROM documents),
+            st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(tk)) AS BIGINT) AS n_tokens FROM tkt),
+            terms(term) AS (VALUES ('table'), ('scan'), ('hash'), ('window'), ('spark')),
+            df AS (
+              SELECT term, COUNT(*) FILTER (WHERE list_contains(tk, term)) AS df
+              FROM terms, tkt GROUP BY term),
+            tf AS (
+              SELECT doc_id, term,
+                     CAST(len(list_filter(tk, x -> x = term)) AS DOUBLE) AS tf,
+                     CAST(len(tk) AS DOUBLE) AS dl
+              FROM tkt, terms),
+            q AS (
+              SELECT doc_id,
+                CAST(FLOOR(
+                  ln((CAST(st.n_docs AS DOUBLE) - df.df + 0.5)/(CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                  * ((tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                     / (tf.tf + CAST(1.2 AS DOUBLE)
+                        * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                           + CAST(0.75 AS DOUBLE)
+                             * (tf.dl / (CAST(st.n_tokens AS DOUBLE) / st.n_docs)))))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS qt
+              FROM tf, st, df WHERE tf.term = df.term)
+            SELECT doc_id, CAST(SUM(qt) AS BIGINT) AS score_q
+            FROM q GROUP BY doc_id
+            ORDER BY score_q DESC, doc_id LIMIT 10""",
+        "decontam": f"""
+            WITH base AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(tk) >= 8
+                  THEN list_transform(range(1, len(tk)-6),
+                         i -> {"||' '||".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(8))})
+                  ELSE tk END AS hs
+              FROM base),
+            ev AS (SELECT DISTINCT unnest(hs) AS s FROM sh WHERE doc_id % 97 = 0),
+            occ AS (SELECT doc_id, unnest(hs) AS s FROM sh),
+            hits AS (
+              SELECT o.doc_id, COUNT(*) AS nh
+              FROM occ o JOIN ev ON o.s = ev.s GROUP BY o.doc_id)
+            SELECT sh.doc_id,
+                   CAST(len(sh.hs) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.nh, 0) > 0 AS contaminated
+            FROM sh LEFT JOIN hits h USING (doc_id)""",
+        "kmeans": """
+            WITH e AS (
+              SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+            seeds AS (
+              SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+              FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+            c0 AS (SELECT s.cluster, e.pos, e.v AS c
+                   FROM seeds s JOIN e ON e.vec_id = s.vec_id),
+            d1 AS (
+              SELECT e.vec_id, c0.cluster,
+                     SUM(CAST(FLOOR((e.v - c0.c)*(e.v - c0.c)*1000000000000.0 + 0.5)
+                              AS BIGINT)) AS qd
+              FROM e JOIN c0 USING (pos) GROUP BY e.vec_id, c0.cluster),
+            a1 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qd, cluster) AS rn
+                FROM d1) WHERE rn = 1),
+            q AS (SELECT vec_id, pos, CAST(FLOOR(v*1000000 + 0.5) AS BIGINT) AS qv FROM e),
+            c1n AS (
+              SELECT a1.cluster, q.pos,
+                     CAST(SUM(q.qv) AS DOUBLE)/(1000000.0*COUNT(*)) AS c
+              FROM q JOIN a1 USING (vec_id) GROUP BY a1.cluster, q.pos),
+            c1 AS (
+              SELECT c0.cluster, c0.pos, COALESCE(c1n.c, c0.c) AS c
+              FROM c0 LEFT JOIN c1n ON c1n.cluster = c0.cluster AND c1n.pos = c0.pos),
+            d2 AS (
+              SELECT e.vec_id, c1.cluster,
+                     SUM(CAST(FLOOR((e.v - c1.c)*(e.v - c1.c)*1000000000000.0 + 0.5)
+                              AS BIGINT)) AS qd
+              FROM e JOIN c1 USING (pos) GROUP BY e.vec_id, c1.cluster)
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+              SELECT vec_id, cluster,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qd, cluster) AS rn
+              FROM d2) WHERE rn = 1""",
         "simhash": f"WITH {simhash_ctes}{simhash_final}",
         "simhash_pairs": f"""
             WITH {simhash_ctes},

@@ -402,3 +402,118 @@ def label_centroids(emb_ds, vec_col: str = "embedding", label_col: str = "label"
         )
 
     return merged.map_batches(explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd's algorithm) over the embedding column
+# ---------------------------------------------------------------------------
+
+DIST_SCALE = 1_000_000_000_000  # 1e12: per-dim squared diffs are O(1)
+
+
+def _assign_batch(batch: pa.Table, C: np.ndarray, vec_col: str, id_col: str) -> pa.Table:
+    """Nearest-centroid assignment with EXACT integer distances: each
+    per-dimension squared difference is quantized to int64 (floor(d*1e12
+    + 0.5)) before the sum, so the argmin — including the lowest-cluster
+    tie-break via np.argmin's first-minimum rule — is order-independent
+    and bit-reproducible in SQL."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+        )
+    X = _to_matrix(batch.column(vec_col)).astype(np.float64)
+    diff = X[:, None, :] - C[None, :, :]
+    qd = np.floor(diff * diff * DIST_SCALE + 0.5).astype(np.int64).sum(axis=2)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "cluster": pa.array(np.argmin(qd, axis=1).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def kmeans_assign(
+    emb_ds,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Lloyd's k-means, deterministic end to end; returns the final
+    (id, cluster) assignment Dataset.
+
+    - init: the k vectors with the SMALLEST ids (per-block bottom-k
+      prune -> global sort -> take k; only k rows reach the driver).
+    - assign: broadcast centroids (k x d, ray.put once per iteration),
+      stateless streaming map_batches — the corpus is never shuffled.
+    - recompute: the label_centroids machinery (int64-quantized partial
+      sums at 1e6 -> coalesce-merge tree); new centroid = qsum/(1e6*n)
+      as the ONLY float op, identical in numpy and SQL.  A cluster left
+      empty keeps its previous centroid.
+
+    Scale shape: per iteration one streaming pass + one k x d tree
+    merge; driver state is k x d doubles.  Iteration count is a fixed
+    small constant (the caller's convergence budget), standard for
+    distributed Lloyd.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    from georay.stages.aggregate import tree_merge
+
+    # ---- deterministic init: k smallest-id vectors --------------------
+    def bottom_k(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        idx = pc.sort_indices(b, sort_keys=[(id_col, "ascending")])
+        return b.take(idx[:k])
+
+    seeds = (
+        emb_ds.map_batches(bottom_k, batch_format="pyarrow")
+        .sort(id_col)
+        .limit(k)
+        .take_all()
+    )
+    C = np.array([r[vec_col] for r in seeds], np.float64)
+    if len(C) == 0:
+        raise ValueError("kmeans_assign: empty input")
+
+    assigned = None
+    n_iters = max(1, iters)
+    for it in range(n_iters):
+        cref = ray.put(C)
+
+        def assign(b: pa.Table, _cref=cref) -> pa.Table:
+            return _assign_batch(b, ray.get(_cref), vec_col, id_col)
+
+        assigned = emb_ds.map_batches(assign, batch_format="pyarrow")
+        if it == n_iters - 1:
+            break  # the final assignment needs no trailing recompute pass
+
+        # recompute: join the assignment back is unnecessary — recompute
+        # runs on the SAME pass by rebuilding partials from the vectors
+        def recompute_partial(b: pa.Table, _cref=cref) -> pa.Table:
+            if b.num_rows == 0:
+                return _CENTROID_EMPTY
+            Cb = ray.get(_cref)
+            lab = (
+                _assign_batch(b, Cb, vec_col, id_col).column("cluster").to_numpy()
+            )
+            M = _to_matrix(b.column(vec_col))
+            u, c, s = _sum_by_label(
+                lab.astype(np.int64), np.ones(len(lab), np.int64), _quantize(M)
+            )
+            return _centroid_rows(u, c, s)
+
+        partials = emb_ds.map_batches(recompute_partial, batch_format="pyarrow")
+        rows = tree_merge(partials, _centroid_merge).take_all()
+        newC = C.copy()  # empty cluster keeps its previous centroid
+        for r in rows:
+            q = np.asarray(r["qsum"], np.int64)
+            newC[int(r["label"])] = q.astype(np.float64) / (
+                CENTROID_SCALE * float(r["n"])
+            )
+        C = newC
+
+    return assigned

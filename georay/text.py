@@ -238,40 +238,178 @@ def ngram_count_batch(batch: pa.Table, k: int = 3, text_col: str = "text") -> pa
     )
 
 
-def top_ngrams(docs_ds, k: int = 3, top: int = 20):
+def top_ngrams(docs_ds, k: int = 3, top: int = 20, num_partitions: int | None = None):
     """Global top-``top`` word ``k``-grams by occurrence count.
 
-    Scale shape: in-block combiner (``ngram_count_batch``) -> ONE
-    hash/sort groupby over (ngram, cnt) partials -> per-block top-k
-    prune (each ngram lives in exactly ONE block after the groupby, so
-    per-block top-k then a global merge is EXACT, and the final sort
-    sees <= top x blocks rows instead of the whole distinct-ngram
-    table) -> global sort + limit.  Ties break lexicographically so the
-    result is deterministic and oracle-comparable.
+    Scale shape: in-block combiner (``ngram_count_batch``) -> int32
+    hash-partition key per distinct-in-block ngram -> ONE groupby over
+    the part key with the final aggregate AND the top-k prune fused in
+    the partition kernel (an ngram's partials all hash to the same
+    partition, so partition-local sum + top-k is EXACT) -> global sort
+    over <= top x partitions rows.  The exchange sorts small int32 keys
+    instead of the full distinct-ngram string table, and no second
+    shuffle round exists.  Ties break lexicographically so the result
+    is deterministic and oracle-comparable.
     """
-    import pyarrow.compute as _pc
+    import pandas as pd
 
-    agg = (
-        docs_ds.map_batches(
-            lambda b, k=k: ngram_count_batch(b, k=k), batch_format="pyarrow"
+    from georay.dedup import _cluster_partitions
+
+    p = num_partitions or _cluster_partitions(mult=2, cap=256)
+
+    def partial_with_part(b: pa.Table) -> pa.Table:
+        t = ngram_count_batch(b, k=k)
+        if t.num_rows == 0:
+            return t.append_column("part", pa.array([], pa.int32()))
+        h = pd.util.hash_array(
+            t.column("ngram").to_numpy(zero_copy_only=False), hash_key="georay-ngramprt1"
+        ).astype(np.uint64)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(p)).astype(np.int32), pa.int32())
         )
-        .groupby("ngram")
-        .sum("cnt")
-    )
 
-    def block_topk(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table(
-                {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+    def partition_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:  # typed empty: schema survives Ray's 0-row pandas path
+            return pd.DataFrame(
+                {"ngram": pd.Series(dtype=object), "cnt": pd.Series(dtype=np.int64)}
             )
-        b = pa.table({"ngram": b.column("ngram"), "cnt": b.column("sum(cnt)")})
-        idx = _pc.sort_indices(
-            b, sort_keys=[("cnt", "descending"), ("ngram", "ascending")]
-        )
-        return b.take(idx[:top])
+        agg = g.groupby("ngram", as_index=False, sort=False)["cnt"].sum()
+        agg = agg.sort_values(
+            ["cnt", "ngram"], ascending=[False, True], kind="stable"
+        ).head(top)
+        return agg[["ngram", "cnt"]].reset_index(drop=True)
 
     return (
-        agg.map_batches(block_topk, batch_format="pyarrow")
+        docs_ds.map_batches(partial_with_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_topk, batch_format="pandas")
         .sort(["cnt", "ngram"], descending=[True, False])
         .limit(top)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII-style pattern redaction
+# ---------------------------------------------------------------------------
+
+#: applied IN ORDER — URLs first (they can contain '@' and digit runs),
+#: then emails, then long digit runs.  Each pattern is counted on the
+#: string state it actually sees, so counts and replacements compose
+#: deterministically and the SQL mirror (same RE2 patterns, same order)
+#: matches byte for byte.
+REDACT_RULES: tuple[tuple[str, str, str], ...] = (
+    ("n_url", r"https?://\S+", "<URL>"),
+    ("n_email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_num", r"[0-9]{6,}", "<NUM>"),
+)
+
+
+def redact_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Redact URL / email / long-digit-run spans, keeping per-type match
+    counts — the standard pre-training scrub pass.  Entirely pyarrow C++
+    RE2 kernels (count + replace per rule); no Python per row.
+
+    Exact SQL mirror (DuckDB is RE2 too — identical leftmost-longest,
+    non-overlapping match semantics), one CTE per rule:
+
+        len(regexp_extract_all(t, pat))            -- the count
+        regexp_replace(t, pat, repl, 'g')          -- the rewrite
+    """
+    orig = batch.column(text_col).combine_chunks()
+    cur = orig
+    counts = {}
+    for name, pat, repl in REDACT_RULES:
+        counts[name] = pc.count_substring_regex(cur, pat).cast(pa.int64())
+        cur = pc.replace_substring_regex(cur, pat, repl)
+    cols = {id_col: batch.column(id_col), "red_text": cur}
+    cols.update(counts)
+    cols["changed"] = pc.not_equal(cur, orig)
+    return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# word-repetition quality stats (Gopher-style repetition filters)
+# ---------------------------------------------------------------------------
+
+def repetition_stats_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-document word-repetition statistics — the core signals behind
+    Gopher/MassiveText-style repetition filters — as EXACT integers (no
+    float column, so oracle hash parity is trivial):
+
+    n_words        total whitespace tokens (empty tokens dropped)
+    n_unique       distinct tokens
+    top_word_cnt   multiplicity of the most repeated token
+    top_bigram_cnt multiplicity of the most repeated word bigram
+                   (0 when the document has < 2 tokens)
+    n_token_chars  sum of token lengths (mean word length = /n_words)
+    keep           5*top_word_cnt <= n_words AND 2*n_unique >= n_words
+                   (pure integer comparisons — the repetition filter
+                   verdict itself, float-free)
+
+    Vectorized: ONE whitespace split per batch, shared with the shingle
+    kernels; multiplicities via pandas' C groupby over (doc, token) /
+    (doc, bigram) pairs — no per-document Python loop.
+    """
+    from georay.dedup import _shingle_strings, _tokens_nonempty
+
+    text = batch.column(text_col).combine_chunks()
+    n = len(text)
+    tok_np, offsets = _tokens_nonempty(text)
+    n_words = np.diff(offsets).astype(np.int64)
+
+    def _top_counts(values: np.ndarray, offs: np.ndarray):
+        """(flat values, per-doc offsets) -> per-doc (max multiplicity,
+        distinct count) via one C groupby."""
+        m = np.diff(offs).astype(np.int64)
+        top = np.zeros(n, np.int64)
+        uniq = np.zeros(n, np.int64)
+        if len(values) == 0:
+            return top, uniq
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), m)
+        g = (
+            pd.DataFrame({"d": doc_idx, "v": values})
+            .groupby(["d", "v"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        per_doc = g.groupby("d", sort=False)["c"].agg(["max", "size"])
+        top[per_doc.index.to_numpy()] = per_doc["max"].to_numpy()
+        uniq[per_doc.index.to_numpy()] = per_doc["size"].to_numpy()
+        return top, uniq
+
+    top_word, n_unique = _top_counts(tok_np, offsets)
+
+    # strict bigrams only: suppress _shingle_strings' <k raw-token
+    # fallback by zeroing docs with < 2 tokens afterwards
+    grams, goffs = _shingle_strings(tok_np, offsets, 2)
+    top_bigram, _ = _top_counts(grams, goffs)
+    top_bigram[n_words < 2] = 0
+
+    if len(tok_np):
+        tok_lens = (
+            pc.utf8_length(pa.array(tok_np, pa.string()))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        from georay.dedup import segment_reduce
+
+        n_token_chars = segment_reduce(np.add, tok_lens, offsets, 0)
+    else:
+        n_token_chars = np.zeros(n, np.int64)
+
+    keep = (5 * top_word <= n_words) & (2 * n_unique >= n_words)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_unique": pa.array(n_unique, pa.int64()),
+            "top_word_cnt": pa.array(top_word, pa.int64()),
+            "top_bigram_cnt": pa.array(top_bigram, pa.int64()),
+            "n_token_chars": pa.array(n_token_chars, pa.int64()),
+            "keep": pa.array(keep),
+        }
     )

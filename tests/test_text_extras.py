@@ -124,3 +124,116 @@ class TestLabelCentroids:
         # ±0.5 ties round UP (floor(x+0.5)), matching SQL FLOOR(v*S + 0.5)
         v = np.array([[1.5e-6, -1.5e-6, 2.5e-6, -2.5e-6]])
         np.testing.assert_array_equal(_quantize(v)[0], [2, -1, 3, -2])
+
+
+class TestRedact:
+    def test_rules_in_order(self):
+        from georay.text import redact_batch
+
+        out = redact_batch(
+            _doc_table(
+                [
+                    "mail me a@b.com or visit https://x.y/z?u=1 code 1234567",
+                    "no matches here",
+                    "ftp 12345 short digits",
+                    "two mails a@b.co and c.d@e-f.org",
+                ]
+            )
+        )
+        assert out.column("red_text").to_pylist() == [
+            "mail me <EMAIL> or visit <URL> code <NUM>",
+            "no matches here",
+            "ftp 12345 short digits",
+            "two mails <EMAIL> and <EMAIL>",
+        ]
+        assert out.column("n_url").to_pylist() == [1, 0, 0, 0]
+        assert out.column("n_email").to_pylist() == [1, 0, 0, 2]
+        assert out.column("n_num").to_pylist() == [1, 0, 0, 0]
+        assert out.column("changed").to_pylist() == [True, False, False, True]
+
+    def test_url_swallows_contained_email_and_digits(self):
+        from georay.text import redact_batch
+
+        # the URL is redacted FIRST, so its '@' and digit run never count
+        out = redact_batch(_doc_table(["see https://u:p@host/123456789 end"]))
+        assert out.column("red_text").to_pylist() == ["see <URL> end"]
+        assert out.column("n_url").to_pylist() == [1]
+        assert out.column("n_email").to_pylist() == [0]
+        assert out.column("n_num").to_pylist() == [0]
+
+    def test_matches_duckdb_mirror(self):
+        import duckdb
+
+        from georay.text import redact_batch
+
+        texts = [
+            "a@b.com https://h/p 1234567 x",
+            "nested http://a.b/c@d.e,999999999 tail",
+            "",
+        ]
+        out = redact_batch(_doc_table(texts))
+        con = duckdb.connect()
+        con.register("documents", _doc_table(texts))
+        sql = con.execute(
+            """
+            SELECT regexp_replace(regexp_replace(regexp_replace(text,
+                     'https?://\\S+', '<URL>', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '[0-9]{6,}', '<NUM>', 'g')
+            FROM documents ORDER BY doc_id"""
+        ).fetchall()
+        assert out.column("red_text").to_pylist() == [r[0] for r in sql]
+
+
+class TestRepetitionStats:
+    def test_counts(self):
+        from georay.text import repetition_stats_batch
+
+        out = repetition_stats_batch(
+            _doc_table(
+                [
+                    "a b a b a",          # top word 'a' x3, top bigram 'a b' x2
+                    "unique words only",  # no repetition
+                    "x",                  # single token: bigram cnt 0
+                    "",                   # empty
+                ]
+            )
+        )
+        assert out.column("n_words").to_pylist() == [5, 3, 1, 0]
+        assert out.column("n_unique").to_pylist() == [2, 3, 1, 0]
+        assert out.column("top_word_cnt").to_pylist() == [3, 1, 1, 0]
+        assert out.column("top_bigram_cnt").to_pylist() == [2, 1, 0, 0]
+        assert out.column("n_token_chars").to_pylist() == [5, 15, 1, 0]
+
+    def test_keep_verdict_integer_thresholds(self):
+        from georay.text import repetition_stats_batch
+
+        out = repetition_stats_batch(
+            _doc_table(
+                [
+                    "spam spam spam spam one two three four five ten",  # 4*5 > 10: drop
+                    "one two three four spam spam spam spam spam spam "
+                    "a b c d e f g h i j k l m n",  # 6*5 >= 24... 30 > 24: drop
+                    "all distinct words in this doc",  # keep
+                ]
+            )
+        )
+        assert out.column("keep").to_pylist() == [False, False, True]
+
+    def test_matches_pure_python(self):
+        from collections import Counter
+
+        from georay.text import repetition_stats_batch
+
+        texts = ["w x w y w z " * 3, "q r s t q", "m"]
+        out = repetition_stats_batch(_doc_table(texts))
+        for i, t in enumerate(texts):
+            toks = t.split()
+            bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            assert out.column("n_words")[i].as_py() == len(toks)
+            assert out.column("n_unique")[i].as_py() == len(set(toks))
+            assert out.column("top_word_cnt")[i].as_py() == max(Counter(toks).values())
+            assert out.column("top_bigram_cnt")[i].as_py() == (
+                max(Counter(bigrams).values()) if bigrams else 0
+            )
+            assert out.column("n_token_chars")[i].as_py() == sum(len(w) for w in toks)
