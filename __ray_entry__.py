@@ -15,6 +15,7 @@ nondeterminism) by summing integer cents instead.
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 from collections.abc import Callable
 from typing import Any
@@ -1251,6 +1252,68 @@ def _q_events_window(sf_dir: str):
     return window_top1(ds)
 
 
+def _q_host_stats(sf_dir: str):
+    """Per-host crawl-curation stats: vectorized RE2 host extraction +
+    per-batch combine, one hash shuffle of combined partials."""
+    from georay.pipelines.pages import read_pages
+    from georay.web import host_stats
+
+    return host_stats(read_pages(sf_dir))
+
+
+def _q_rasterize(sf_dir: str):
+    """Vector -> raster: geo points binned into dense 8x8-pixel tiles on
+    the res-7 cell grid, exploded back to per-pixel rows (zeros included)
+    so the dense fill itself is oracle-checked."""
+    from georay.raster import rasterize, raster_pixels
+
+    return raster_pixels(rasterize(_geo(sf_dir), res=CELL_RES, tile=8), res=CELL_RES, tile=8)
+
+
+def _q_raster_pyramid(sf_dir: str):
+    """Raster pyramid: res-7 raster downsampled 4x (block-sum) to res-5.
+    Oracle is DIRECT rasterization at res-5 — the pyramid invariant
+    downsample(rasterize(r), f) == rasterize(r - log2 f)."""
+    from georay.raster import downsample, raster_pixels, rasterize
+
+    fine = rasterize(_geo(sf_dir), res=CELL_RES, tile=8)
+    coarse = downsample(fine, res=CELL_RES, tile=8, factor=4)
+    return raster_pixels(coarse, res=CELL_RES - 2, tile=8)
+
+
+def _q_raster_diff(sf_dir: str):
+    """Change detection (binary map algebra): rasterize the before/after-2024-01-04 page slices
+    (ts = doc_id*1337 s wraps one year, so this cut is non-empty on BOTH
+    sides at every test scale factor) onto the same grid, align tiles
+    (outer-join semantics), subtract bands; exploded to per-pixel rows."""
+    import pyarrow.compute as _pc
+
+    from georay.raster import raster_diff, raster_diff_pixels
+
+    cut = pa.scalar(datetime.datetime(2024, 1, 4), pa.timestamp("us"))
+    geo = _geo(sf_dir)
+
+    def before(b: pa.Table) -> pa.Table:
+        return b.filter(_pc.less(b.column("warc_ts"), cut))
+
+    def after(b: pa.Table) -> pa.Table:
+        return b.filter(_pc.greater_equal(b.column("warc_ts"), cut))
+
+    a = geo.map_batches(before, batch_format="pyarrow")
+    bds = geo.map_batches(after, batch_format="pyarrow")
+    return raster_diff_pixels(raster_diff(a, bds, res=CELL_RES, tile=8), tile=8)
+
+
+def _q_zonal_stats(sf_dir: str):
+    """Raster -> vector: per-star-polygon pixel statistics over the
+    rasterized point grid (zones broadcast once, raster streams, partials
+    tree-merged)."""
+    from georay.raster import rasterize, zonal_stats
+
+    ref = ray.put(_star_payload())
+    return zonal_stats(rasterize(_geo(sf_dir), res=CELL_RES, tile=8), ref, res=CELL_RES, tile=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": _q_token_stats,
@@ -1281,6 +1344,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_split": _q_temporal_split,
         "cell_rollup": _q_cell_rollup,
         "cell_polygons": _q_cell_polygons,
+        "host_stats": _q_host_stats,
+        "rasterize": _q_rasterize,
+        "raster_pyramid": _q_raster_pyramid,
+        "raster_diff": _q_raster_diff,
+        "zonal_stats": _q_zonal_stats,
         "dwithin_poly": _q_dwithin_poly,
         "top_cells": _q_top_cells,
         "segment_revenue": _q_segment_revenue,
@@ -1391,6 +1459,7 @@ def _langid_score_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from georay.conformance import conformance_sql
     from georay.text import BPE_RE, STOPWORD_RE
+    from georay.web import HOST_PATTERN
 
     geo_pages = f"WITH {PAGES_SQL_CTE}, geo AS (SELECT * FROM pages WHERE has_geo)"
     ix7 = f"CAST(floor((lon+180.0)/360.0*{1 << CELL_RES}) AS BIGINT)"
@@ -1977,6 +2046,83 @@ def oracle_sql() -> dict[str, str]:
                    -180.0 + (parent_cell % 536870912) * 22.5 + 22.5 AS maxlon,
                    -90.0 + ((parent_cell // 536870912) % 536870912 % 32) * 11.25 + 11.25 AS maxlat
             FROM rolled""",
+        "host_stats": f"""WITH {PAGES_SQL_CTE}
+            SELECT regexp_extract(url, '{HOST_PATTERN}', 1) AS host,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+                   MAX(warc_ts) AS max_ts
+            FROM pages GROUP BY 1""",
+        "rasterize": f"""{geo_pages},
+            px AS (SELECT {ix7} AS ix, {iy7} AS iy FROM geo),
+            counts AS (
+              SELECT ix//8 AS tile_x, iy//8 AS tile_y,
+                     (iy%8)*8 + (ix%8) AS idx, COUNT(*) AS n
+              FROM px GROUP BY 1, 2, 3),
+            tiles AS (SELECT DISTINCT tile_x, tile_y FROM counts),
+            grid AS (
+              SELECT t.tile_x, t.tile_y, r.i AS idx
+              FROM tiles t CROSS JOIN range(64) r(i))
+            SELECT g.tile_x, g.tile_y, g.idx, COALESCE(c.n, 0) AS n
+            FROM grid g LEFT JOIN counts c
+              ON g.tile_x = c.tile_x AND g.tile_y = c.tile_y AND g.idx = c.idx""",
+        "raster_pyramid": f"""{geo_pages},
+            px AS (SELECT CAST(floor((lon+180.0)/360.0*{1 << (CELL_RES - 2)}) AS BIGINT) AS ix,
+                          CAST(floor((lat+90.0)/180.0*{1 << (CELL_RES - 2)}) AS BIGINT) AS iy
+                   FROM geo),
+            counts AS (
+              SELECT ix//8 AS tile_x, iy//8 AS tile_y,
+                     (iy%8)*8 + (ix%8) AS idx, COUNT(*) AS n
+              FROM px GROUP BY 1, 2, 3),
+            tiles AS (SELECT DISTINCT tile_x, tile_y FROM counts),
+            grid AS (
+              SELECT t.tile_x, t.tile_y, r.i AS idx
+              FROM tiles t CROSS JOIN range(64) r(i))
+            SELECT g.tile_x, g.tile_y, g.idx, COALESCE(c.n, 0) AS n
+            FROM grid g LEFT JOIN counts c
+              ON g.tile_x = c.tile_x AND g.tile_y = c.tile_y AND g.idx = c.idx""",
+        "raster_diff": f"""{geo_pages},
+            px AS (SELECT {ix7} AS ix, {iy7} AS iy,
+                          warc_ts < TIMESTAMP '2024-01-04 00:00:00' AS is_a
+                   FROM geo),
+            counts AS (
+              SELECT ix//8 AS tile_x, iy//8 AS tile_y,
+                     (iy%8)*8 + (ix%8) AS idx,
+                     CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                     CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+              FROM px GROUP BY 1, 2, 3),
+            tiles AS (SELECT DISTINCT tile_x, tile_y FROM counts),
+            grid AS (
+              SELECT t.tile_x, t.tile_y, r.i AS idx
+              FROM tiles t CROSS JOIN range(64) r(i))
+            SELECT g.tile_x, g.tile_y, g.idx,
+                   COALESCE(c.n_a, 0) AS n_a,
+                   COALESCE(c.n_b, 0) AS n_b,
+                   COALESCE(c.n_a, 0) - COALESCE(c.n_b, 0) AS diff
+            FROM grid g LEFT JOIN counts c
+              ON g.tile_x = c.tile_x AND g.tile_y = c.tile_y AND g.idx = c.idx""",
+        "zonal_stats": f"""{geo_pages},
+            px AS (SELECT {ix7} AS ix, {iy7} AS iy FROM geo),
+            counts AS (
+              SELECT ix//8 AS tile_x, iy//8 AS tile_y,
+                     (iy%8)*8 + (ix%8) AS idx, COUNT(*) AS n
+              FROM px GROUP BY 1, 2, 3),
+            centers AS (
+              SELECT tile_x, tile_y, idx, n,
+                     (tile_x*8 + idx%8 + 0.5)*(360.0/{1 << CELL_RES}) - 180.0 AS cx,
+                     (tile_y*8 + idx//8 + 0.5)*(180.0/{1 << CELL_RES}) - 90.0 AS cy
+              FROM counts),
+            edges(polygon_id, x1, y1, x2, y2) AS (VALUES
+            {star_edges_sql_values()}),
+            inside AS (
+              SELECT c.tile_x, c.tile_y, c.idx, c.n, e.polygon_id,
+                     SUM(CASE WHEN ((e.y1 > c.cy) <> (e.y2 > c.cy))
+                               AND (c.cx < e.x1 + (c.cy - e.y1)*(e.x2 - e.x1)/(e.y2 - e.y1))
+                          THEN 1 ELSE 0 END) AS crossings
+              FROM centers c, edges e
+              GROUP BY 1, 2, 3, 4, 5)
+            SELECT polygon_id, COUNT(*) AS n_px,
+                   CAST(SUM(n) AS BIGINT) AS n_docs, MAX(n) AS max_n
+            FROM inside WHERE crossings % 2 = 1 GROUP BY 1""",
         "events_hourly": """
             SELECT event_type,
                    make_timestamp((epoch_us(ts)//3600000000)*3600000000) AS window_start,

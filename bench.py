@@ -428,7 +428,11 @@ def scaling_run(args) -> dict:
             "--control-cpus", str(args.control_cpus),
         ] + (["--skew"] if args.skew else [])
         log(f"scaling run num_cpus={n} ...")
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        # scale the guard with the workload: a throttled-host 4-CPU leg of
+        # 3 x 32M pages can legitimately take >30 min (r4: the fixed 1800s
+        # killed an otherwise-valid run mid-leg)
+        leg_timeout = max(1800, (args.pages * max(3, args.repeats)) // 15000)
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=leg_timeout)
         if proc.returncode != 0:
             log(proc.stderr[-2000:])
             raise RuntimeError(f"scaling subprocess failed at num_cpus={n}")
