@@ -327,9 +327,26 @@ def minhash_signatures(text: pa.Array, num_perm: int = 128, k: int = 3) -> np.nd
     if len(sh) == 0:
         return sig
     a, b = _perm_params(num_perm)
+    # The permutation loop is the minhash hot path: num_perm full passes
+    # over every shingle hash.  Two optimizations, both BIT-EXACT vs the
+    # naive `(a*sh + b) % MERSENNE_P` (the SQL oracle mirrors the wrapped
+    # uint64 intermediate, so results must not change):
+    #   * Mersenne fold instead of integer division — for x < 2^64 and
+    #     P = 2^61-1, x = q*(P+1) + r gives x mod P = (q + r) mod P with
+    #     q = x>>61 <= 7, so one conditional subtract finishes the mod.
+    #   * preallocated out= buffers — zero allocations per permutation
+    #     (the naive form allocates ~4 shingle-sized temporaries each).
+    tmp = np.empty_like(sh)
+    fold = np.empty_like(sh)
+    shift = np.uint64(61)
     for p in range(num_perm):
-        vals = (a[p] * sh + b[p]) % MERSENNE_P
-        sig[:, p] = segment_reduce(np.minimum, vals, offsets, np.iinfo(np.uint64).max)
+        np.multiply(sh, a[p], out=tmp)   # wraps mod 2^64, same as before
+        np.add(tmp, b[p], out=tmp)
+        np.bitwise_and(tmp, MERSENNE_P, out=fold)
+        np.right_shift(tmp, shift, out=tmp)
+        np.add(fold, tmp, out=fold)
+        fold[fold >= MERSENNE_P] -= MERSENNE_P
+        sig[:, p] = segment_reduce(np.minimum, fold, offsets, np.iinfo(np.uint64).max)
     return sig
 
 
