@@ -1252,6 +1252,15 @@ def _q_events_window(sf_dir: str):
     return window_top1(ds)
 
 
+def _q_dup_spans(sf_dir: str):
+    """Cross-document duplicate 5-token windows over the documents table
+    (window-granular exact-substring dedup)."""
+    from georay.dedup import dup_spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_spans(ds, w=5)
+
+
 def _q_host_stats(sf_dir: str):
     """Per-host crawl-curation stats: vectorized RE2 host extraction +
     per-batch combine, one hash shuffle of combined partials."""
@@ -1344,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_split": _q_temporal_split,
         "cell_rollup": _q_cell_rollup,
         "cell_polygons": _q_cell_polygons,
+        "dup_spans": _q_dup_spans,
         "host_stats": _q_host_stats,
         "rasterize": _q_rasterize,
         "raster_pyramid": _q_raster_pyramid,
@@ -2046,6 +2056,21 @@ def oracle_sql() -> dict[str, str]:
                    -180.0 + (parent_cell % 536870912) * 22.5 + 22.5 AS maxlon,
                    -90.0 + ((parent_cell // 536870912) % 536870912 % 32) * 11.25 + 11.25 AS maxlat
             FROM rolled""",
+        "dup_spans": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(tk) >= 5
+                  THEN list_transform(range(1, len(tk)-3),
+                    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
+                  ELSE []::VARCHAR[] END) AS gram
+              FROM base),
+            pg AS (SELECT gram, doc_id, COUNT(*) AS n_occ FROM g GROUP BY 1, 2)
+            SELECT gram, COUNT(*) AS n_docs, CAST(SUM(n_occ) AS BIGINT) AS n_occ
+            FROM pg GROUP BY 1 HAVING COUNT(*) >= 2""",
         "host_stats": f"""WITH {PAGES_SQL_CTE}
             SELECT regexp_extract(url, '{HOST_PATTERN}', 1) AS host,
                    COUNT(*) AS n_docs,

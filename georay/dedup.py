@@ -1641,3 +1641,99 @@ def cosine_pairs(vecs: np.ndarray, ids: np.ndarray, threshold: float) -> pa.Tabl
             "cosine": pa.array(sim[ia, ib], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate spans (exact substring dedup at window level)
+# ---------------------------------------------------------------------------
+
+_SPAN_KEY = "georay-dupspan01"
+
+
+def dup_span_partial(batch: pa.Table, w: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Per-batch combine for duplicate-span detection: one
+    (h, gram, doc_id, n_occ) row per distinct w-token window per document.
+
+    Windows are the ' '-joined rolling w-grams of the whitespace tokens
+    (the exact DuckDB mirror ``tk[i]||' '||...``); documents shorter than
+    ``w`` tokens emit NOTHING (no raw-token fallback — a duplicate *span*
+    needs a full window).  Grouping key is the 64-bit hash of the gram —
+    at corpus scale the shuffle moves 8-byte keys plus one representative
+    string per (window, doc), never positions; the ~1e-19 in-test hash
+    collision rate is documented, not load-bearing (same contract as
+    decontam matching).  Everything is one lexsort + difference masks; no
+    per-document Python."""
+    empty = pa.table(
+        {
+            "h": pa.array([], pa.int64()),
+            "gram": pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "n_occ": pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    text = batch.column(text_col).combine_chunks()
+    ids = batch.column(id_col).to_numpy()
+    tok_np, offsets = _tokens_nonempty(text)
+    if len(tok_np) == 0:
+        return empty
+    grams, goffs = _shingle_strings(tok_np, offsets, w)
+    m = np.diff(offsets)
+    counts = np.diff(goffs)
+    seg = np.repeat(np.arange(len(m), dtype=np.int64), counts)
+    keep = (m >= w)[seg]  # drop the short-doc raw-token fallback segments
+    grams = grams[keep]
+    seg = seg[keep]
+    if len(grams) == 0:
+        return empty
+    h = pd.util.hash_array(grams, hash_key=_SPAN_KEY).astype(np.uint64)
+    doc = ids[seg]
+    order = np.lexsort((doc, h))
+    hs, dc, gs = h[order], doc[order], grams[order]
+    first = np.ones(len(hs), bool)
+    first[1:] = (hs[1:] != hs[:-1]) | (dc[1:] != dc[:-1])
+    starts = np.nonzero(first)[0]
+    n_occ = np.diff(np.append(starts, len(hs)))
+    return pa.table(
+        {
+            "h": pa.array(hs[starts].view(np.int64), pa.int64()),
+            "gram": pa.array(gs[starts], pa.string()),
+            id_col: pa.array(dc[starts]),
+            "n_occ": pa.array(n_occ.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def dup_spans(docs_ds, w: int = 5, min_docs: int = 2, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """Cross-document duplicate w-token windows (the window-granular form
+    of exact-substring training-data dedup): every window appearing in at
+    least ``min_docs`` DISTINCT documents, with its document count and
+    total occurrence count.
+
+    Shape: per-batch combine (each document lives in one block, so
+    partial rows are already per (window, doc)) -> ONE hash shuffle
+    keyed by the window hash -> tiny vectorized filter.  Returns rows
+    (gram, n_docs, n_occ)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    partials = docs_ds.map_batches(
+        lambda b: dup_span_partial(b, w=w, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
+    agg = partials.groupby("h").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_occ", alias_name="n_occ"),
+        # all rows in a group share one gram string (64-bit-hash groups);
+        # Max is just the cheapest way to carry it through the aggregate
+        Max("gram", alias_name="gram"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        sel = pc.greater_equal(b.column("n_docs"), min_docs)
+        out = b.filter(sel)
+        return out.select(["gram", "n_docs", "n_occ"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -536,3 +536,61 @@ class TestApplyDedup:
         out = apply_dedup(ray.data.from_arrow(docs), res).to_pandas()
         # 2 (survivor 1) and 5 (survivor 4) are duplicates; 4 survives itself
         assert sorted(out.doc_id) == [1, 3, 4]
+
+
+class TestDupSpans:
+    def test_partial_kernel(self):
+        import pyarrow as pa
+
+        from georay.dedup import dup_span_partial
+
+        b = pa.table({"doc_id": [1, 2, 3, 4], "text": [
+            "a b c d e f g",
+            "x a b c d e f",
+            "too short",
+            "a b c d e x y z a b c d e x",
+        ]})
+        t = dup_span_partial(b, w=5).to_pandas()
+        # the shared window appears in docs 1, 2 and twice in doc 4
+        rows = t[t.gram == "a b c d e"].sort_values("doc_id")
+        assert list(rows.doc_id) == [1, 2, 4]
+        assert list(rows.n_occ) == [1, 1, 2]
+        # short docs emit nothing (no raw-token fallback for spans)
+        assert (t.doc_id != 3).all()
+        # every row is a full 5-token window
+        assert (t.gram.str.split(" ").str.len() == 5).all()
+
+    def test_empty_and_all_short(self):
+        import pyarrow as pa
+
+        from georay.dedup import dup_span_partial
+
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())})
+        assert dup_span_partial(empty, w=5).num_rows == 0
+        short = pa.table({"doc_id": [1], "text": ["a b"]})
+        t = dup_span_partial(short, w=5)
+        assert t.num_rows == 0 and t.column_names == ["h", "gram", "doc_id", "n_occ"]
+
+    def test_dataset_end_to_end(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from georay.dedup import dup_spans
+
+        docs = pa.table({"doc_id": list(range(6)), "text": [
+            "the quick brown fox jumps over it",
+            "a quick brown fox jumps over me",
+            "unrelated words entirely here now ok",
+            "the quick brown fox jumps again too",
+            "tiny",
+            "the quick brown fox jumps over it",  # exact dup of doc 0
+        ]})
+        out = dup_spans(ray.data.from_arrow(docs).repartition(3), w=5).to_pandas()
+        got = {r.gram: (r.n_docs, r.n_occ) for r in out.itertuples()}
+        # "quick brown fox jumps over" in docs 0, 1, 5
+        assert got["quick brown fox jumps over"] == (3, 3)
+        # "the quick brown fox jumps" in docs 0, 3, 5
+        assert got["the quick brown fox jumps"] == (3, 3)
+        # nothing with fewer than 2 docs leaks through
+        assert (out.n_docs >= 2).all()
