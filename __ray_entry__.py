@@ -1290,6 +1290,17 @@ def _q_raster_pyramid(sf_dir: str):
     return raster_pixels(coarse, res=CELL_RES - 2, tile=8)
 
 
+def _q_raster_focal(sf_dir: str):
+    """3x3 focal sum over the rasterized grid via tile halo exchange
+    (no global raster materialization); output over occupied tiles."""
+    from georay.raster import focal_pixels, raster_focal, rasterize
+
+    return focal_pixels(
+        raster_focal(rasterize(_geo(sf_dir), res=CELL_RES, tile=8), res=CELL_RES, tile=8),
+        tile=8,
+    )
+
+
 def _q_raster_diff(sf_dir: str):
     """Change detection (binary map algebra): rasterize the before/after-2024-01-04 page slices
     (ts = doc_id*1337 s wraps one year, so this cut is non-empty on BOTH
@@ -1357,6 +1368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": _q_host_stats,
         "rasterize": _q_rasterize,
         "raster_pyramid": _q_raster_pyramid,
+        "raster_focal": _q_raster_focal,
         "raster_diff": _q_raster_diff,
         "zonal_stats": _q_zonal_stats,
         "dwithin_poly": _q_dwithin_poly,
@@ -2105,6 +2117,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.tile_x, g.tile_y, g.idx, COALESCE(c.n, 0) AS n
             FROM grid g LEFT JOIN counts c
               ON g.tile_x = c.tile_x AND g.tile_y = c.tile_y AND g.idx = c.idx""",
+        "raster_focal": f"""{geo_pages},
+            px AS (SELECT {ix7} AS ix, {iy7} AS iy FROM geo),
+            counts AS (SELECT ix, iy, COUNT(*) AS n FROM px GROUP BY 1, 2),
+            tiles AS (SELECT DISTINCT ix//8 AS tile_x, iy//8 AS tile_y FROM counts),
+            grid AS (
+              SELECT t.tile_x, t.tile_y, r.i AS idx,
+                     t.tile_x*8 + r.i%8 AS gx, t.tile_y*8 + r.i//8 AS gy
+              FROM tiles t CROSS JOIN range(64) r(i))
+            SELECT g.tile_x, g.tile_y, g.idx,
+                   CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS focal
+            FROM grid g LEFT JOIN counts c
+              ON c.ix BETWEEN g.gx - 1 AND g.gx + 1
+             AND c.iy BETWEEN g.gy - 1 AND g.gy + 1
+            GROUP BY 1, 2, 3""",
         "raster_diff": f"""{geo_pages},
             px AS (SELECT {ix7} AS ix, {iy7} AS iy,
                           warc_ts < TIMESTAMP '2024-01-04 00:00:00' AS is_a

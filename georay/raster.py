@@ -321,6 +321,153 @@ def raster_diff_pixels(diff_ds, tile: int = 8):
     return diff_ds.map_batches(explode, batch_format="pyarrow")
 
 
+def focal_partial(batch: pa.Table, res: int, tile: int) -> pa.Table:
+    """Halo-exchange partials for a 3x3 focal sum: each input tile's
+    box-summed (T+2)^2 padded result is split into up to 9 pieces — the
+    T x T center for the tile itself plus border strips/corners for its
+    neighbors — each scattered into a dense T^2 partial band for its
+    TARGET tile.  The ``own`` flag marks the center piece so the merge
+    can restrict output to occupied tiles (the rasterize contract: empty
+    tiles don't exist, even when a neighbor would shine into them).
+
+    Grid edges zero-pad (no longitude wrap — documented divergence from
+    the kNN cell-neighbourhood, which wraps); out-of-grid targets are
+    dropped here, and unoccupied targets are dropped at the merge."""
+    tt = tile * tile
+    n_tiles = _grid_n(res) // tile
+    empty = pa.table(
+        {
+            "tile_x": pa.array([], pa.int64()),
+            "tile_y": pa.array([], pa.int64()),
+            "band": pa.array([], pa.list_(pa.int64(), tt)),
+            "own": pa.array([], pa.bool_()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    tx = batch.column("tile_x").to_numpy(zero_copy_only=False)
+    ty = batch.column("tile_y").to_numpy(zero_copy_only=False)
+    band = batch.column("band")
+    if isinstance(band, pa.ChunkedArray):
+        band = band.combine_chunks()
+    bands = band.flatten().to_numpy(zero_copy_only=False).reshape(len(tx), tile, tile)
+    # vectorized 3x3 box sum on a zero-padded (T+4) canvas per tile: R is
+    # (T+2)^2, R[i,j] = sum of B over the 3x3 window centred on padded
+    # (i,j); computed as 9 shifted adds, no Python per pixel
+    R = np.zeros((len(tx), tile + 2, tile + 2), dtype=np.int64)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ys, ye = max(0, 1 + dy), min(tile + 2, 1 + dy + tile)
+            xs, xe = max(0, 1 + dx), min(tile + 2, 1 + dx + tile)
+            R[:, ys:ye, xs:xe] += bands[
+                :, ys - 1 - dy : ye - 1 - dy, xs - 1 - dx : xe - 1 - dx
+            ]
+    out_tx, out_ty, out_bands, out_own = [], [], [], []
+    # 9 pieces: (row range in R, col range in R) -> (tile offset, dest slice)
+    spans = [((0, 1), -1, (tile - 1, tile)), ((1, tile + 1), 0, (0, tile)),
+             ((tile + 1, tile + 2), 1, (0, 1))]
+    for (ry0, ry1), oy, (dy0, dy1) in spans:
+        for (rx0, rx1), ox, (dx0, dx1) in spans:
+            piece = R[:, ry0:ry1, rx0:rx1]
+            ttx = tx + ox
+            tty = ty + oy
+            ok = (ttx >= 0) & (ttx < n_tiles) & (tty >= 0) & (tty < n_tiles)
+            if ox or oy:
+                ok &= piece.reshape(len(tx), -1).any(axis=1)
+            if not ok.any():
+                continue
+            dest = np.zeros((int(ok.sum()), tile, tile), dtype=np.int64)
+            dest[:, dy0:dy1, dx0:dx1] = piece[ok]
+            out_tx.append(ttx[ok])
+            out_ty.append(tty[ok])
+            out_bands.append(dest.reshape(-1, tt))
+            out_own.append(np.full(int(ok.sum()), not (ox or oy), dtype=bool))
+    ab = np.concatenate(out_bands)
+    return pa.table(
+        {
+            "tile_x": np.concatenate(out_tx),
+            "tile_y": np.concatenate(out_ty),
+            "band": pa.FixedSizeListArray.from_arrays(
+                pa.array(ab.reshape(-1), pa.int64()), tt
+            ),
+            "own": np.concatenate(out_own),
+        }
+    )
+
+
+def _focal_merge(group: pa.Table, tile: int) -> pa.Table:
+    """Per-tile merge of halo partials: sum bands; emit ONLY if the tile
+    itself is occupied (an ``own`` partial is present)."""
+    tt = tile * tile
+    own = group.column("own").to_numpy(zero_copy_only=False)
+    if not own.any():
+        return pa.table(
+            {
+                "tile_x": pa.array([], pa.int64()),
+                "tile_y": pa.array([], pa.int64()),
+                "band": pa.array([], pa.list_(pa.int64(), tt)),
+            }
+        )
+    tx = group.column("tile_x").to_numpy(zero_copy_only=False)
+    ty = group.column("tile_y").to_numpy(zero_copy_only=False)
+    band = group.column("band")
+    if isinstance(band, pa.ChunkedArray):
+        band = band.combine_chunks()
+    total = band.flatten().to_numpy(zero_copy_only=False).reshape(len(tx), tt).sum(axis=0)
+    return pa.table(
+        {
+            "tile_x": np.asarray([tx[0]], dtype=np.int64),
+            "tile_y": np.asarray([ty[0]], dtype=np.int64),
+            "band": pa.FixedSizeListArray.from_arrays(pa.array(total, pa.int64()), tt),
+        }
+    )
+
+
+def raster_focal(raster_ds, res: int = 7, tile: int = 8):
+    """3x3 focal (neighbourhood) sum over a dense tile raster via halo
+    exchange: tiles never see the global raster; each emits <= 9 partial
+    bands and ONE tile-keyed shuffle merges them.  Output covers exactly
+    the occupied tiles of the input."""
+    partials = raster_ds.map_batches(
+        lambda b: focal_partial(b, res=res, tile=tile), batch_format="pyarrow"
+    )
+    return partials.groupby(["tile_x", "tile_y"]).map_groups(
+        lambda g: _focal_merge(g, tile), batch_format="pyarrow"
+    )
+
+
+def focal_pixels(focal_ds, tile: int = 8):
+    """Explode a focal raster to per-pixel rows (tile_x, tile_y, idx,
+    focal), zeros included."""
+    tt = tile * tile
+
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "tile_x": pa.array([], pa.int64()),
+                    "tile_y": pa.array([], pa.int64()),
+                    "idx": pa.array([], pa.int64()),
+                    "focal": pa.array([], pa.int64()),
+                }
+            )
+        tx = b.column("tile_x").to_numpy(zero_copy_only=False)
+        ty = b.column("tile_y").to_numpy(zero_copy_only=False)
+        band = b.column("band")
+        if isinstance(band, pa.ChunkedArray):
+            band = band.combine_chunks()
+        return pa.table(
+            {
+                "tile_x": np.repeat(tx, tt),
+                "tile_y": np.repeat(ty, tt),
+                "idx": np.tile(np.arange(tt, dtype=np.int64), b.num_rows),
+                "focal": band.flatten().to_numpy(zero_copy_only=False),
+            }
+        )
+
+    return focal_ds.map_batches(explode, batch_format="pyarrow")
+
+
 def pixel_centers(tile_x, tile_y, idx, res: int = 7, tile: int = 8):
     """Pixel -> center lon/lat (the raster->vector sampling points)."""
     n = _grid_n(res)

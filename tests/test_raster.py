@@ -199,6 +199,85 @@ class TestRasterDiff:
         assert got_a == want_a
 
 
+class TestRasterFocal:
+    def _raster_tables(self, lon, lat):
+        import pandas as pd
+
+        part = rasterize_partial(pa.table({"lon": lon, "lat": lat}), res=RES, tile=TILE)
+        df = part.to_pandas()
+        tiles = []
+        for (tx, ty), grp in df.groupby(["tile_x", "tile_y"]):
+            tiles.append(_dense_tiles(pa.Table.from_pandas(grp, preserve_index=False), TILE))
+        return pa.concat_tables(tiles)
+
+    def test_halo_matches_global_reference(self):
+        from georay.raster import _focal_merge, focal_partial
+
+        rng = np.random.default_rng(5)
+        # concentrate points around tile borders so halo pieces matter
+        lon = rng.uniform(-180 + 4 * TILE * (360 / N), -180 + 6 * TILE * (360 / N) - 1e-9, 3000)
+        lat = rng.uniform(-90 + 3 * TILE * (180 / N), -90 + 4 * TILE * (180 / N) - 1e-9, 3000)
+        raster = self._raster_tables(lon, lat)
+        # global-grid reference
+        G = np.zeros((N, N), np.int64)
+        for r in raster.to_pylist():
+            G[r["tile_y"] * TILE:(r["tile_y"] + 1) * TILE,
+              r["tile_x"] * TILE:(r["tile_x"] + 1) * TILE] = np.array(r["band"]).reshape(TILE, TILE)
+        P = np.zeros((N + 2, N + 2), np.int64)
+        P[1:-1, 1:-1] = G
+        F = sum(P[1 + dy:N + 1 + dy, 1 + dx:N + 1 + dx]
+                for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+        # engine: partials grouped per target tile, merged
+        import pandas as pd
+        parts = focal_partial(raster, res=RES, tile=TILE).to_pandas()
+        occupied = {(r["tile_x"], r["tile_y"]) for r in raster.to_pylist()}
+        got = {}
+        for (tx, ty), grp in parts.groupby(["tile_x", "tile_y"]):
+            m = _focal_merge(pa.Table.from_pandas(grp, preserve_index=False), TILE)
+            if m.num_rows:
+                r = m.to_pylist()[0]
+                got[(r["tile_x"], r["tile_y"])] = np.array(r["band"]).reshape(TILE, TILE)
+        assert set(got) == occupied  # neighbour-shine tiles are dropped
+        for (tx, ty), band in got.items():
+            want = F[ty * TILE:(ty + 1) * TILE, tx * TILE:(tx + 1) * TILE]
+            assert np.array_equal(band, want)
+
+    def test_grid_corner_no_wrap(self):
+        from georay.raster import focal_partial
+
+        # a tile at the global grid corner must not emit out-of-grid pieces
+        band = np.ones(TILE * TILE, np.int64)
+        t = pa.table({
+            "tile_x": pa.array([0], pa.int64()),
+            "tile_y": pa.array([0], pa.int64()),
+            "band": pa.FixedSizeListArray.from_arrays(pa.array(band, pa.int64()), TILE * TILE),
+            "n_docs": pa.array([64], pa.int64()),
+            "n_px": pa.array([64], pa.int64()),
+        })
+        parts = focal_partial(t, res=RES, tile=TILE).to_pandas()
+        assert (parts.tile_x >= 0).all() and (parts.tile_y >= 0).all()
+        # pieces: own + right + down + down-right
+        assert set(zip(parts.tile_x, parts.tile_y)) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+
+    def test_end_to_end(self, ray_session):
+        import ray as _ray
+
+        from georay.raster import focal_pixels, raster_focal, rasterize
+
+        lon, lat = _points(4000, seed=9)
+        ds = _ray.data.from_arrow(pa.table({"lon": lon, "lat": lat})).repartition(4)
+        raster = rasterize(ds, res=RES, tile=TILE)
+        pix = focal_pixels(raster_focal(raster, res=RES, tile=TILE), tile=TILE).to_pandas()
+        # focal sums >= the center pixel's own count; totals are 9x-ish
+        base = raster_pixels(rasterize(
+            _ray.data.from_arrow(pa.table({"lon": lon, "lat": lat})).repartition(4),
+            res=RES, tile=TILE), res=RES, tile=TILE).to_pandas()
+        key = ["tile_x", "tile_y", "idx"]
+        j = pix.merge(base, on=key)
+        assert (j.focal >= j.n).all()
+        assert j.focal.sum() >= j.n.sum()
+
+
 def _square(polygon_id, minlon, minlat, maxlon, maxlat):
     ring = np.array([
         [minlon, minlat], [maxlon, minlat], [maxlon, maxlat],
