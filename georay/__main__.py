@@ -145,6 +145,92 @@ def cmd_dedup(args):
     ray.shutdown()
 
 
+def cmd_curate(args):
+    """Training-data curation in ONE streaming pass: annotate (quality
+    score + language ID, fused kernels) -> threshold/language filter ->
+    exact content dedup (128-bit key, min-doc_id survivor) -> per-language
+    deterministic stratified sample -> survivors parquet partitioned by
+    detected language.
+
+    Scale shape: the only shuffles are the 16-byte dedup-key groupby and
+    the survivor-id join; everything else is stateless map_batches.  The
+    sample decision is a pure hash of doc_id (re-run stable), so a
+    resumed/repeated run selects identical documents."""
+    ray = _init_ray(args.num_cpus)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from georay.dedup import text_key_batch
+    from georay.sample import stratified_sample_batch
+    from georay.text import detect_language, quality_batch
+
+    docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    n_in = docs.count()  # parquet metadata, no scan
+
+    langs = set(args.langs.split(",")) if args.langs else None
+    lang_arr = pa.array(sorted(langs)) if langs else None
+    min_q, min_t = args.min_quality_bp, args.min_tokens
+
+    def annotate_filter(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        lang = detect_language(b.column("text").combine_chunks())
+        b = b.append_column("quality_bp", q.column("quality_bp"))
+        b = b.append_column("n_tokens", q.column("n_tokens"))
+        b = b.append_column("lang_pred", pa.array(lang, pa.string()))
+        m = pc.and_(
+            pc.greater_equal(b.column("quality_bp"), min_q),
+            pc.greater_equal(b.column("n_tokens"), min_t),
+        )
+        if lang_arr is not None:
+            m = pc.and_(m, pc.is_in(b.column("lang_pred"), value_set=lang_arr))
+        b = b.filter(m)
+        k = text_key_batch(b)
+        b = b.append_column("h1", k.column("h1"))
+        return b.append_column("h2", k.column("h2"))
+
+    filt = docs.map_batches(annotate_filter, batch_format="pyarrow")
+
+    # exact dedup: survivor ids from a 16-byte-key groupby, then a semi
+    # join back (the full rows never shuffle through the key groupby)
+    survivors = (
+        filt.map_batches(lambda b: b.select(["h1", "h2", "doc_id"]), batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .aggregate(Min("doc_id", alias_name="keep_id"))
+        .map_batches(lambda b: b.select(["keep_id"]), batch_format="pyarrow")
+    )
+    deduped = filt.join(
+        survivors, join_type="inner", num_partitions=args.num_partitions,
+        on=("doc_id",), right_on=("keep_id",),
+    )
+
+    sampled = deduped.map_batches(
+        lambda b: stratified_sample_batch(
+            b, rates_bp={}, default_bp=args.rate_bp, key_col="lang_pred"
+        ),
+        batch_format="pyarrow",
+    )
+    sampled.write_parquet(args.out, partition_cols=["lang_pred"])
+
+    out_ds = ray.data.read_parquet(args.out)
+    n_out = out_ds.count()
+    per_lang = {}
+    for row in out_ds.groupby("lang_pred").count().take_all():
+        per_lang[row["lang_pred"]] = row["count()"]
+    print(json.dumps({
+        "input_docs": n_in,
+        "survivors": n_out,
+        "per_lang": per_lang,
+        "min_quality_bp": min_q,
+        "min_tokens": min_t,
+        "rate_bp": args.rate_bp,
+        "out": args.out,
+    }))
+    ray.shutdown()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="georay")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -184,6 +270,23 @@ def main(argv=None):
         _sys.argv = ["bench.py"] + [a for a in args.rest if a != "--"]
         runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"), run_name="__main__")
     b.set_defaults(fn=cmd_bench)
+
+    c = sub.add_parser(
+        "curate",
+        help="training-data curation: quality/lang filter -> exact dedup -> stratified sample",
+    )
+    c.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    c.add_argument("--out", required=True)
+    c.add_argument("--min-quality-bp", type=int, default=4000,
+                   help="drop docs scoring below this (basis points, 0-10000)")
+    c.add_argument("--min-tokens", type=int, default=5)
+    c.add_argument("--langs", default=None,
+                   help="comma list of detected languages to keep (default: all)")
+    c.add_argument("--rate-bp", type=int, default=10000,
+                   help="per-language keep rate in basis points (10000 = keep all)")
+    c.add_argument("--num-partitions", type=int, default=16)
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     args.fn(args)
