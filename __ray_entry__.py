@@ -1290,6 +1290,21 @@ def _q_raster_pyramid(sf_dir: str):
     return raster_pixels(coarse, res=CELL_RES - 2, tile=8)
 
 
+def _q_raster_vectorize(sf_dir: str):
+    """Raster -> vector extraction: coarse (res CELL_RES-2) pixels with
+    >= 2 documents become vector features with cell-polygon bounds
+    (shared cell arithmetic). Coarse so the threshold actually selects
+    at sf0.01 — at res 7 no pixel holds two docs."""
+    from georay.raster import raster_vectorize, rasterize
+
+    return raster_vectorize(
+        rasterize(_geo(sf_dir), res=CELL_RES - 2, tile=8),
+        threshold=2,
+        res=CELL_RES - 2,
+        tile=8,
+    )
+
+
 def _q_raster_focal(sf_dir: str):
     """3x3 focal sum over the rasterized grid via tile halo exchange
     (no global raster materialization); output over occupied tiles."""
@@ -1368,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": _q_host_stats,
         "rasterize": _q_rasterize,
         "raster_pyramid": _q_raster_pyramid,
+        "raster_vectorize": _q_raster_vectorize,
         "raster_focal": _q_raster_focal,
         "raster_diff": _q_raster_diff,
         "zonal_stats": _q_zonal_stats,
@@ -2117,6 +2133,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.tile_x, g.tile_y, g.idx, COALESCE(c.n, 0) AS n
             FROM grid g LEFT JOIN counts c
               ON g.tile_x = c.tile_x AND g.tile_y = c.tile_y AND g.idx = c.idx""",
+        "raster_vectorize": f"""{geo_pages},
+            px AS (SELECT CAST(floor((lon+180.0)/360.0*{1 << (CELL_RES - 2)}) AS BIGINT) AS ix,
+                          CAST(floor((lat+90.0)/180.0*{1 << (CELL_RES - 2)}) AS BIGINT) AS iy
+                   FROM geo),
+            counts AS (SELECT ix AS gx, iy AS gy, COUNT(*) AS n
+                       FROM px GROUP BY 1, 2),
+            hit AS (SELECT gx, gy, n,
+                           -180.0 + gx*(360.0/{1 << (CELL_RES - 2)}) AS minlon,
+                           -90.0 + gy*(180.0/{1 << (CELL_RES - 2)}) AS minlat
+                    FROM counts WHERE n >= 2)
+            SELECT gx, gy, n, minlon, minlat,
+                   minlon + (360.0/{1 << (CELL_RES - 2)}) AS maxlon,
+                   minlat + (180.0/{1 << (CELL_RES - 2)}) AS maxlat
+            FROM hit""",
         "raster_focal": f"""{geo_pages},
             px AS (SELECT {ix7} AS ix, {iy7} AS iy FROM geo),
             counts AS (SELECT ix, iy, COUNT(*) AS n FROM px GROUP BY 1, 2),

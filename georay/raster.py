@@ -468,6 +468,63 @@ def focal_pixels(focal_ds, tile: int = 8):
     return focal_ds.map_batches(explode, batch_format="pyarrow")
 
 
+def raster_vectorize(raster_ds, threshold: int = 1, res: int = 7, tile: int = 8):
+    """Raster -> vector extraction ("vectorize"): pixels with value >=
+    ``threshold`` become vector features — one row per qualifying pixel
+    with its cell polygon bounds (the pixel IS a res-``res`` cell, so the
+    bounds come from the shared cell arithmetic and its SQL mirror).
+
+    Stateless per-batch kernel over the dense raster: a threshold mask +
+    the vectorized bbox arithmetic of :func:`georay.cells.cell_to_bbox`.
+    No shuffle — the raster is already tile-partitioned."""
+    tt = tile * tile
+    n = _grid_n(res)
+    w, h = 360.0 / n, 180.0 / n
+
+    def vectorize(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gx": pa.array([], pa.int64()),
+                "gy": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "minlon": pa.array([], pa.float64()),
+                "minlat": pa.array([], pa.float64()),
+                "maxlon": pa.array([], pa.float64()),
+                "maxlat": pa.array([], pa.float64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        tx = b.column("tile_x").to_numpy(zero_copy_only=False)
+        ty = b.column("tile_y").to_numpy(zero_copy_only=False)
+        band = b.column("band")
+        if isinstance(band, pa.ChunkedArray):
+            band = band.combine_chunks()
+        flat = band.flatten().to_numpy(zero_copy_only=False)
+        hit = np.nonzero(flat >= threshold)[0]
+        if len(hit) == 0:
+            return empty
+        row = hit // tt
+        idx = (hit % tt).astype(np.int64)
+        gx = tx[row] * tile + idx % tile
+        gy = ty[row] * tile + idx // tile
+        minlon = -180.0 + gx.astype(np.float64) * w
+        minlat = -90.0 + gy.astype(np.float64) * h
+        return pa.table(
+            {
+                "gx": pa.array(gx, pa.int64()),
+                "gy": pa.array(gy, pa.int64()),
+                "n": pa.array(flat[hit], pa.int64()),
+                "minlon": pa.array(minlon, pa.float64()),
+                "minlat": pa.array(minlat, pa.float64()),
+                "maxlon": pa.array(minlon + w, pa.float64()),
+                "maxlat": pa.array(minlat + h, pa.float64()),
+            }
+        )
+
+    return raster_ds.map_batches(vectorize, batch_format="pyarrow")
+
+
 def pixel_centers(tile_x, tile_y, idx, res: int = 7, tile: int = 8):
     """Pixel -> center lon/lat (the raster->vector sampling points)."""
     n = _grid_n(res)

@@ -199,6 +199,58 @@ class TestRasterDiff:
         assert got_a == want_a
 
 
+class TestRasterVectorize:
+    def test_threshold_and_bounds(self):
+        from georay.cells import cell_to_bbox, latlng_to_cell
+        from georay.raster import raster_vectorize
+
+        band = np.zeros(TILE * TILE, np.int64)
+        band[0] = 1   # below threshold
+        band[9] = 3   # idx 9 -> local (y=1, x=1)
+        band[63] = 2  # local (7, 7)
+        t = pa.table({
+            "tile_x": pa.array([5], pa.int64()),
+            "tile_y": pa.array([9], pa.int64()),
+            "band": pa.FixedSizeListArray.from_arrays(pa.array(band, pa.int64()), TILE * TILE),
+            "n_docs": pa.array([6], pa.int64()),
+            "n_px": pa.array([3], pa.int64()),
+        })
+
+        class FakeDS:  # drive the batch kernel directly
+            def map_batches(self, fn, **kw):
+                return fn(t)
+
+        out = raster_vectorize(FakeDS(), threshold=2, res=RES, tile=TILE).to_pandas()
+        assert len(out) == 2
+        r = out[out.gx == 5 * TILE + 1].iloc[0]
+        assert (r.gy, r.n) == (9 * TILE + 1, 3)
+        # bounds equal the shared cell arithmetic at pixel resolution
+        cell = latlng_to_cell(np.array([r.minlat + 1e-9]), np.array([r.minlon + 1e-9]), RES)
+        minlon, minlat, maxlon, maxlat = cell_to_bbox(cell)
+        assert (r.minlon, r.minlat, r.maxlon, r.maxlat) == (
+            minlon[0], minlat[0], maxlon[0], maxlat[0]
+        )
+
+    def test_empty(self):
+        from georay.raster import raster_vectorize
+
+        empty = pa.table({
+            "tile_x": pa.array([], pa.int64()),
+            "tile_y": pa.array([], pa.int64()),
+            "band": pa.array([], pa.list_(pa.int64(), TILE * TILE)),
+            "n_docs": pa.array([], pa.int64()),
+            "n_px": pa.array([], pa.int64()),
+        })
+
+        class FakeDS:
+            def map_batches(self, fn, **kw):
+                return fn(empty)
+
+        out = raster_vectorize(FakeDS(), threshold=1, res=RES, tile=TILE)
+        assert out.num_rows == 0
+        assert "maxlat" in out.column_names
+
+
 class TestRasterFocal:
     def _raster_tables(self, lon, lat):
         import pandas as pd
