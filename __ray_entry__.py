@@ -373,6 +373,16 @@ def _q_token_stats(sf_dir: str):
     return ds.map_batches(quality_batch, batch_format="pyarrow")
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Sequence-packing index: global exclusive token prefix-scan in
+    doc_id order + training bin (seq_len 512) per document — the
+    distributed two-pass scan (georay.pack), oracle = SQL window sum."""
+    from georay.pack import pack_sequences
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=512)
+
+
 def _q_langid(sf_dir: str):
     """Heuristic language ID (rows-only check; accuracy tested in pytest)."""
     from georay.text import langid_batch
@@ -1352,6 +1362,7 @@ def _q_zonal_stats(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": _q_token_stats,
+        "pack_sequences": _q_pack_sequences,
         "langid": _q_langid,
         "text_normalize": _q_text_normalize,
         "top_ngrams": _q_top_ngrams,
@@ -1544,6 +1555,20 @@ def oracle_sql() -> dict[str, str]:
                              ELSE p.uval END AS BIGINT) AS simhash
             FROM documents d LEFT JOIN packed p USING (doc_id)"""
     return {
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     length(regexp_extract_all(text, '\\S+')) AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS tok_offset
+              FROM t)
+            SELECT doc_id, n_tokens, tok_offset, tok_offset // 512 AS bin
+            FROM s""",
         "token_stats": f"""
             SELECT doc_id, n_chars, n_tokens, n_bpe, n_punct, n_stop,
                    CAST(floor((0.4*(n_stop / GREATEST(n_tokens, 1))
