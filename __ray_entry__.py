@@ -373,6 +373,21 @@ def _q_token_stats(sf_dir: str):
     return ds.map_batches(quality_batch, batch_format="pyarrow")
 
 
+def _q_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (3 rounds) over a deterministic
+    3-outlink synthetic doc graph — hash-partitioned message delivery
+    (georay.graph); oracle = 3 unrolled SQL join+aggregate rounds."""
+    from georay.graph import pagerank, synthesize_outlinks_batch
+
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = int(ids.max("doc_id")) + 1
+    edges = ids.map_batches(
+        lambda b: synthesize_outlinks_batch(b, num_nodes=n, k=3),
+        batch_format="pyarrow",
+    )
+    return pagerank(edges, iters=3)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Sequence-packing index: global exclusive token prefix-scan in
     doc_id order + training bin (seq_len 512) per document — the
@@ -1363,6 +1378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_stats": _q_token_stats,
         "pack_sequences": _q_pack_sequences,
+        "pagerank": _q_pagerank,
         "langid": _q_langid,
         "text_normalize": _q_text_normalize,
         "top_ngrams": _q_top_ngrams,
@@ -1555,6 +1571,50 @@ def oracle_sql() -> dict[str, str]:
                              ELSE p.uval END AS BIGINT) AS simhash
             FROM documents d LEFT JOIN packed p USING (doc_id)"""
     return {
+        "pagerank": """
+            WITH e AS (
+              SELECT doc_id AS src,
+                     (doc_id*2654435761 + j*40503)
+                       % (SELECT MAX(doc_id)+1 FROM documents) AS dst
+              FROM documents, range(1, 4) t(j)),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            od AS (SELECT src, COUNT(*) AS c FROM e GROUP BY 1),
+            r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS pr
+                   FROM nodes, nn),
+            it1 AS (
+              SELECT nd.node,
+                     CAST((15 * (1000000000000 // nn.n)) // 100
+                          + COALESCE(SUM((85 * r.pr // 100) // od.c), 0)
+                          AS BIGINT) AS pr
+              FROM nodes nd CROSS JOIN nn
+              LEFT JOIN e ON e.dst = nd.node
+              LEFT JOIN r0 r ON r.node = e.src
+              LEFT JOIN od ON od.src = e.src
+              GROUP BY nd.node, nn.n),
+            it2 AS (
+              SELECT nd.node,
+                     CAST((15 * (1000000000000 // nn.n)) // 100
+                          + COALESCE(SUM((85 * r.pr // 100) // od.c), 0)
+                          AS BIGINT) AS pr
+              FROM nodes nd CROSS JOIN nn
+              LEFT JOIN e ON e.dst = nd.node
+              LEFT JOIN it1 r ON r.node = e.src
+              LEFT JOIN od ON od.src = e.src
+              GROUP BY nd.node, nn.n),
+            it3 AS (
+              SELECT nd.node,
+                     CAST((15 * (1000000000000 // nn.n)) // 100
+                          + COALESCE(SUM((85 * r.pr // 100) // od.c), 0)
+                          AS BIGINT) AS pr
+              FROM nodes nd CROSS JOIN nn
+              LEFT JOIN e ON e.dst = nd.node
+              LEFT JOIN it2 r ON r.node = e.src
+              LEFT JOIN od ON od.src = e.src
+              GROUP BY nd.node, nn.n)
+            SELECT node, pr FROM it3""",
         "pack_sequences": """
             WITH t AS (
               SELECT doc_id,
