@@ -1295,6 +1295,15 @@ def _q_host_stats(sf_dir: str):
     return host_stats(read_pages(sf_dir))
 
 
+def _q_host_quota(sf_dir: str):
+    """Per-host quota curation: keep the 40 lowest doc_ids per host.
+    Pre-truncating combiner bounds the host shuffle under skew."""
+    from georay.pipelines.pages import read_pages
+    from georay.web import host_quota
+
+    return host_quota(read_pages(sf_dir), quota=40)
+
+
 def _q_rasterize(sf_dir: str):
     """Vector -> raster: geo points binned into dense 8x8-pixel tiles on
     the res-7 cell grid, exploded back to per-pixel rows (zeros included)
@@ -1408,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_polygons": _q_cell_polygons,
         "dup_spans": _q_dup_spans,
         "host_stats": _q_host_stats,
+        "host_quota": _q_host_quota,
         "rasterize": _q_rasterize,
         "raster_pyramid": _q_raster_pyramid,
         "raster_vectorize": _q_raster_vectorize,
@@ -2184,6 +2194,15 @@ def oracle_sql() -> dict[str, str]:
             pg AS (SELECT gram, doc_id, COUNT(*) AS n_occ FROM g GROUP BY 1, 2)
             SELECT gram, COUNT(*) AS n_docs, CAST(SUM(n_occ) AS BIGINT) AS n_occ
             FROM pg GROUP BY 1 HAVING COUNT(*) >= 2""",
+        "host_quota": f"""WITH {PAGES_SQL_CTE},
+            h AS (SELECT doc_id,
+                         regexp_extract(url, '{HOST_PATTERN}', 1) AS host
+                  FROM pages)
+            SELECT doc_id, host FROM (
+              SELECT doc_id, host,
+                     ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+              FROM h)
+            WHERE rn <= 40""",
         "host_stats": f"""WITH {PAGES_SQL_CTE}
             SELECT regexp_extract(url, '{HOST_PATTERN}', 1) AS host,
                    COUNT(*) AS n_docs,

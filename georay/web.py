@@ -74,3 +74,71 @@ def host_stats(pages_ds):
         return b.drop_columns(["max_ts_us"]).append_column("max_ts", ts)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _quota_truncate(t: pa.Table, quota: int, host_col: str = "host",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Keep the <= ``quota`` lowest ids per host WITHIN this table.
+    Safe as a pre-shuffle combiner: a row kept by the GLOBAL quota has
+    global per-host rank < quota, so its rank within any subset that
+    contains it is also < quota — pre-truncation never drops a final
+    keeper, it only bounds shuffle volume to quota x hosts-per-block."""
+    if t.num_rows == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         host_col: pa.array([], pa.string())})
+    host = t.column(host_col).combine_chunks()
+    codes = pc.dictionary_encode(host).indices.to_numpy(zero_copy_only=False)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, codes))
+    c = codes[order]
+    starts = np.r_[0, np.flatnonzero(c[1:] != c[:-1]) + 1]
+    rank = np.arange(len(c)) - np.repeat(starts, np.diff(np.r_[starts, len(c)]))
+    keep = order[rank < quota]
+    keep.sort()  # preserve input order (cosmetic; output is set-compared)
+    return t.select([id_col, host_col]).take(pa.array(keep))
+
+
+def host_quota(pages_ds, quota: int, num_partitions: int | None = None):
+    """Per-host document cap: keep the ``quota`` lowest doc_ids of every
+    host (deterministic curation quota — the standard guard against a
+    single host dominating a training mix).
+
+    Shape: slim (doc_id, host) projection -> per-block PRE-TRUNCATION to
+    quota/host (combiner; bounds the shuffle to quota x hosts-per-block
+    rows regardless of host skew) -> ONE hash shuffle on host -> the
+    same vectorized multi-host rank kernel per partition for the exact
+    global cut.  SQL mirror: ROW_NUMBER() OVER (PARTITION BY host
+    ORDER BY doc_id) <= quota."""
+    from georay.pipelines.events import _partition_of, default_partitions
+
+    p = default_partitions(num_partitions)
+
+    def slim(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "doc_id": b.column("doc_id"),
+            "host": extract_host(b.column("url").combine_chunks()),
+        })
+        return _quota_truncate(t, quota)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        # deterministic vectorized string hash (pandas C kernel with a
+        # FIXED key — Python hash() is per-process salted and would split
+        # a host across partitions)
+        import pandas as pd
+
+        hv = pd.util.hash_array(
+            b.column("host").to_numpy(zero_copy_only=False),
+            hash_key="0123456789abcdef",
+        ).astype(np.uint64)
+        return b.append_column("part", pa.array(_partition_of(hv, p)))
+
+    def exact(g):
+        t = pa.Table.from_pandas(g.drop(columns=["part"]), preserve_index=False)
+        return _quota_truncate(t, quota).to_pandas()
+
+    return (
+        pages_ds.map_batches(slim, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(exact, batch_format="pandas")
+    )

@@ -2,6 +2,7 @@
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -113,3 +114,53 @@ class TestHostStatsDataset:
         for k in range(7):
             last = max(i for i in range(n) if i % 7 == k)
             assert got[f"h{k}.example.org"] == last
+
+
+class TestHostQuota:
+    def test_truncate_is_safe_combiner(self):
+        from georay.web import _quota_truncate
+
+        # global keepers survive ANY subset pre-truncation
+        t = pa.table({
+            "doc_id": pa.array([9, 1, 5, 3, 7, 2], pa.int64()),
+            "host": pa.array(["a", "a", "a", "b", "b", "a"], pa.string()),
+        })
+        out = _quota_truncate(t, quota=2).to_pandas()
+        assert sorted(out[out.host == "a"].doc_id) == [1, 2]
+        assert sorted(out[out.host == "b"].doc_id) == [3, 7]
+
+    def test_end_to_end_matches_global_rank(self, ray_session):
+        import ray as _ray
+        from georay.web import host_quota
+
+        rng = np.random.default_rng(11)
+        n = 300
+        hosts = np.array([f"h{int(i)}.org" for i in rng.integers(0, 7, n)])
+        ids = rng.permutation(n).astype(np.int64)
+        pages = pd.DataFrame({
+            "doc_id": ids,
+            "url": [f"https://{h}/d/{i}" for h, i in zip(hosts, ids)],
+        })
+        got = (
+            host_quota(_ray.data.from_pandas(pages).repartition(5), quota=10)
+            .to_pandas()
+        )
+        want = (
+            pages.assign(host=hosts)
+            .sort_values(["host", "doc_id"])
+            .groupby("host")
+            .head(10)[["doc_id", "host"]]
+        )
+        assert sorted(map(tuple, got.values.tolist())) == sorted(
+            map(tuple, want.values.tolist())
+        )
+
+    def test_empty(self, ray_session):
+        import ray as _ray
+        from georay.web import host_quota
+
+        ds = _ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "url": pa.array([], pa.string()),
+        }))
+        assert host_quota(ds, quota=3).count() == 0
