@@ -388,6 +388,15 @@ def _q_pagerank(sf_dir: str):
     return pagerank(edges, iters=3)
 
 
+def _q_chunk_text(sf_dir: str):
+    """Overlapping 200-char windows (stride 150) per document —
+    chunk-index-vectorized explode, no shuffle."""
+    from georay.text import chunk_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_text(ds, size=200, stride=150)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Sequence-packing index: global exclusive token prefix-scan in
     doc_id order + training bin (seq_len 512) per document — the
@@ -1388,6 +1397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "pack_sequences": _q_pack_sequences,
         "pagerank": _q_pagerank,
+        "chunk_text": _q_chunk_text,
         "langid": _q_langid,
         "text_normalize": _q_text_normalize,
         "top_ngrams": _q_top_ngrams,
@@ -1625,6 +1635,10 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN od ON od.src = e.src
               GROUP BY nd.node, nn.n)
             SELECT node, pr FROM it3""",
+        "chunk_text": """
+            SELECT doc_id, j AS chunk_id, substr(text, j*150 + 1, 200) AS chunk
+            FROM documents, range(0, 4096) t(j)
+            WHERE j*150 < GREATEST(length(text), 1)""",
         "pack_sequences": """
             WITH t AS (
               SELECT doc_id,

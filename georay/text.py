@@ -413,3 +413,54 @@ def repetition_stats_batch(
             "keep": pa.array(keep),
         }
     )
+
+
+def chunk_text_batch(batch: pa.Table, size: int = 200, stride: int = 150,
+                     text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Fixed-size overlapping character windows per document (embedding /
+    context chunking): chunk j covers codepoints [j*stride, j*stride+size)
+    while j*stride < max(len, 1) — an empty document yields ONE empty
+    chunk (mirrors the SQL range-join bound GREATEST(length(text), 1)).
+
+    Vectorized BY CHUNK INDEX, not by row: chunk j of every document in
+    the block is one ``utf8_slice_codeunits`` call with fixed offsets, so
+    the loop runs max-chunks-per-block times (typically < 100) instead of
+    once per row.  SQL mirror: substr(text, j*stride+1, size) over a
+    range(j) join."""
+    n = batch.num_rows
+    empty = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "chunk_id": pa.array([], pa.int64()),
+        "chunk": pa.array([], pa.string()),
+    })
+    if n == 0:
+        return empty
+    text = batch.column(text_col).combine_chunks()
+    ids = batch.column(id_col).combine_chunks()
+    lens = pc.fill_null(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
+    # j*stride < max(len,1)  <=>  j < ceil(max(len,1)/stride)
+    n_chunks = -(-np.maximum(lens, 1) // stride)
+    out = []
+    for j in range(int(n_chunks.max())):
+        m = n_chunks > j
+        mask = pa.array(m)
+        sl = pc.utf8_slice_codeunits(
+            text.filter(mask), start=j * stride, stop=j * stride + size)
+        out.append(pa.table({
+            id_col: ids.filter(mask),
+            "chunk_id": pa.array(
+                np.full(int(m.sum()), j, np.int64), pa.int64()),
+            "chunk": sl,
+        }))
+    return pa.concat_tables(out) if out else empty
+
+
+def chunk_text(docs_ds, size: int = 200, stride: int = 150,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset of documents -> dataset of overlapping chunks (doc_id,
+    chunk_id, chunk).  Stateless per-batch explode — no shuffle; output
+    scales by ~len/stride so downstream batch sizes shrink accordingly."""
+    return docs_ds.map_batches(
+        lambda b: chunk_text_batch(b, size, stride, text_col, id_col),
+        batch_format="pyarrow",
+    )

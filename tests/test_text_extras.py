@@ -237,3 +237,42 @@ class TestRepetitionStats:
                 max(Counter(bigrams).values()) if bigrams else 0
             )
             assert out.column("n_token_chars")[i].as_py() == sum(len(w) for w in toks)
+
+
+class TestChunkText:
+    def test_windows_and_overlap(self):
+        import pyarrow as pa
+        from georay.text import chunk_text_batch
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["abcdefghij", "xy", ""], pa.string()),
+        })
+        out = chunk_text_batch(t, size=4, stride=3).to_pandas()
+        d1 = out[out.doc_id == 1].sort_values("chunk_id")
+        # ceil(10/3)=4 windows: 0-3,3-6,6-9,9-12
+        assert list(d1.chunk) == ["abcd", "defg", "ghij", "j"]
+        assert list(out[out.doc_id == 2].chunk) == ["xy"]
+        assert list(out[out.doc_id == 3].chunk) == [""]  # empty -> 1 empty chunk
+
+    def test_codepoint_slicing(self):
+        import pyarrow as pa
+        from georay.text import chunk_text_batch
+
+        t = pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["héllo wörld"], pa.string()),  # multibyte
+        })
+        out = chunk_text_batch(t, size=5, stride=5).to_pandas()
+        assert list(out.sort_values("chunk_id").chunk) == ["héllo", " wörl", "d"]
+
+    def test_null_text(self):
+        import pyarrow as pa
+        from georay.text import chunk_text_batch
+
+        t = pa.table({
+            "doc_id": pa.array([7], pa.int64()),
+            "text": pa.array([None], pa.string()),
+        })
+        out = chunk_text_batch(t, size=4, stride=4).to_pandas()
+        assert len(out) == 1 and out.chunk_id.iloc[0] == 0
