@@ -13,8 +13,9 @@ A scan looks inherently sequential; the classic two-pass formulation
 (Blelloch 1990, "Prefix Sums and Their Applications") distributes it:
 
   pass 1  per-batch vectorized token counts -> per-BUCKET partial sums
-          (bucket = contiguous key range), combined per block and
-          tree-merged to ONE small table of <= num_buckets rows;
+          (bucket = contiguous key range), combined per block; the
+          per-block refs (O(1) rows each under key locality) concat to
+          ONE small table of <= num_buckets + num_blocks rows;
   driver  exclusive cumsum over the <= num_buckets bucket sums (tiny);
           broadcast the per-bucket global offsets via ray.put;
   pass 2  hash-partition buckets across the cluster (every bucket lives
@@ -46,7 +47,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from georay.stages.aggregate import tree_merge
 from georay.text import token_counts
 
 DEFAULT_NUM_BUCKETS = 4096
@@ -141,18 +141,22 @@ def pack_sequences(ds, seq_len: int = 512, id_col: str = "doc_id",
         }))
     width = _bucket_width(int(key_max), num_buckets)
 
-    # pass 1: per-bucket sums, combined per block then tree-merged small
-    sums = tree_merge(
-        slim.map_batches(
-            lambda t: _bucket_sums_partial(t, id_col, width),
-            batch_format="pyarrow",
-        ),
-        lambda t: _bucket_sums_partial_merge(t),
-    )
-    st = sums.to_arrow_refs()
+    # pass 1: per-bucket sums combined per block.  Each block touches
+    # ~ceil(its key span / width) buckets — with any key locality in the
+    # layout that's O(1) rows per block — so the combined partials are
+    # O(num_blocks + num_buckets) rows total and a driver-side concat of
+    # the per-block refs is cheaper than a merge shuffle (the tree_merge
+    # variant paid two repartition barriers, ~3 s at sf0.1, to merge a
+    # few-thousand-row table).
+    st = slim.map_batches(
+        lambda t: _bucket_sums_partial(t, id_col, width),
+        batch_format="pyarrow",
+    ).to_arrow_refs()
     import ray as _ray
 
-    merged = pa.concat_tables([_ray.get(r) for r in st])
+    merged = _bucket_sums_partial_merge(
+        pa.concat_tables([_ray.get(r) for r in st])
+    )
     n_dense = num_buckets
     if merged.num_rows:
         bi = merged.column("bucket").to_numpy(zero_copy_only=False)
