@@ -388,6 +388,22 @@ def _q_pagerank(sf_dir: str):
     return pagerank(edges, iters=3)
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Mixture rebalancing: vocabulary-bounded counting pass -> integer
+    per-lang keep rates toward a 40/15/15/15/15 target at ~250 rows ->
+    deterministic hash filter (md5 oracle surface)."""
+    from georay.sample import mixture_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return mixture_sample(
+        ds,
+        weights_bp={"en": 4000, "de": 1500, "fr": 1500, "es": 1500, "zh": 1500},
+        total_rows=250,
+        hash_impl="md5",
+        keep_cols=("doc_id", "lang"),
+    )
+
+
 def _q_chunk_text(sf_dir: str):
     """Overlapping 200-char windows (stride 150) per document —
     chunk-index-vectorized explode, no shuffle."""
@@ -1398,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "pagerank": _q_pagerank,
         "chunk_text": _q_chunk_text,
+        "mixture_sample": _q_mixture_sample,
         "langid": _q_langid,
         "text_normalize": _q_text_normalize,
         "top_ngrams": _q_top_ngrams,
@@ -1635,6 +1652,15 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN od ON od.src = e.src
               GROUP BY nd.node, nn.n)
             SELECT node, pr FROM it3""",
+        "mixture_sample": """
+            WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+            w(lang, wbp) AS (VALUES ('en', 4000), ('de', 1500), ('fr', 1500),
+                                    ('es', 1500), ('zh', 1500)),
+            r AS (SELECT c.lang,
+                         LEAST(10000, ((250 * wbp // 10000) * 10000) // cnt) AS bp
+                  FROM c JOIN w ON c.lang = w.lang)
+            SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+            WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000 < r.bp""",
         "chunk_text": """
             SELECT doc_id, j AS chunk_id, substr(text, j*150 + 1, 200) AS chunk
             FROM documents, range(0, 4096) t(j)

@@ -318,3 +318,45 @@ class TestVectorizedKernelsMatchNaive:
         assert r["EQUALS"] == (r["CONTAINS"] and r["WITHIN"])
         if r["TOUCHES"]:
             assert not (r["CROSSES"] or r["OVERLAPS"] or r["EQUALS"])
+
+
+class TestMixtureSample:
+    def test_rates_math(self):
+        from georay.sample import mixture_rates_bp
+
+        counts = {"en": 200, "de": 20, "fr": 0}
+        rates = mixture_rates_bp(counts, {"en": 5000, "de": 5000}, total_rows=100)
+        # en: desired 50 of 200 -> 2500 bp; de: desired 50 of 20 -> saturate
+        assert rates == {"en": 2500, "de": 10000}
+
+    def test_mixture_steers_shares(self, ray_session):
+        import ray as _ray
+        import numpy as np
+        import pandas as pd
+        from georay.sample import mixture_sample
+
+        rng = np.random.default_rng(5)
+        langs = np.where(rng.random(4000) < 0.9, "en", "de")  # 90/10 corpus
+        df = pd.DataFrame({"doc_id": np.arange(4000, dtype=np.int64),
+                           "lang": langs})
+        out = mixture_sample(
+            _ray.data.from_pandas(df), {"en": 5000, "de": 5000},
+            total_rows=400,
+        ).to_pandas()
+        share_de = (out.lang == "de").mean()
+        # rebalanced toward 50/50 from 90/10 (hash noise tolerated)
+        assert 0.35 < share_de < 0.65
+        assert 250 < len(out) < 550
+
+    def test_unweighted_stratum_dropped(self, ray_session):
+        import ray as _ray
+        import numpy as np
+        import pandas as pd
+        from georay.sample import mixture_sample
+
+        df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                           "lang": ["en"] * 50 + ["zz"] * 50})
+        out = mixture_sample(
+            _ray.data.from_pandas(df), {"en": 10000}, total_rows=50
+        ).to_pandas()
+        assert set(out.lang) <= {"en"}
