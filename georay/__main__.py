@@ -231,6 +231,47 @@ def cmd_curate(args):
     ray.shutdown()
 
 
+def cmd_pack(args):
+    """Sequence-packing index over a curated corpus: the distributed
+    exclusive token prefix-scan (georay.pack) written as parquet
+    partitioned by training-sequence bin RANGE (bin // bins_per_file),
+    so a downstream tokenizer/packer reads one file per contiguous
+    sequence range and a failed run resumes per partition."""
+    ray = _init_ray(args.num_cpus)
+    import pyarrow as pa
+
+    import ray.data
+
+    from georay.pack import pack_sequences
+
+    docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    packed = pack_sequences(docs, seq_len=args.seq_len)
+
+    bpf = args.bins_per_file
+
+    def add_range(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        r = b.column("bin").to_numpy(zero_copy_only=False) // bpf
+        return b.append_column("bin_range", pa.array(r, pa.int64()))
+
+    packed.map_batches(add_range, batch_format="pyarrow").write_parquet(
+        args.out, partition_cols=["bin_range"]
+    )
+    out_ds = ray.data.read_parquet(args.out)
+    n = out_ds.count()
+    n_bins = out_ds.max("bin")
+    total = out_ds.sum("n_tokens")
+    print(json.dumps({
+        "docs": n,
+        "total_tokens": int(total) if total is not None else 0,
+        "seq_len": args.seq_len,
+        "sequences": (int(n_bins) + 1) if n_bins is not None else 0,
+        "out": args.out,
+    }))
+    ray.shutdown()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="georay")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -287,6 +328,18 @@ def main(argv=None):
     c.add_argument("--num-partitions", type=int, default=16)
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_curate)
+
+    pk = sub.add_parser(
+        "pack",
+        help="sequence-packing index: global token offsets + training bins",
+    )
+    pk.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--seq-len", type=int, default=2048)
+    pk.add_argument("--bins-per-file", type=int, default=1024,
+                    help="training-sequence bins per output partition")
+    pk.add_argument("--num-cpus", type=int, default=None)
+    pk.set_defaults(fn=cmd_pack)
 
     args = ap.parse_args(argv)
     args.fn(args)
