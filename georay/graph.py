@@ -123,17 +123,18 @@ class _PRPartition:
     """One BSP partition: owns the nodes with hash(node) == q (rank
     state) and the edges with hash(src) == q (outgoing adjacency)."""
 
-    def __init__(self, q: int, p: int, node_refs, edge_refs, r0: int, base: int):
+    def __init__(self, q: int, p: int, node_refs, edge_refs):
         import ray as _ray
 
-        self.q, self.p, self.base = q, p, base
+        self.q, self.p = q, p
+        self.base = 0
         nt = [t for t in _ray.get(list(node_refs))]
         nodes = (np.unique(np.concatenate(
             [t.column("node").to_numpy(zero_copy_only=False) for t in nt]))
             if nt else np.empty(0, np.int64))
         sel = _part_of(nodes, p) == q  # blocks may span groups
         self.owned = nodes[sel]
-        self.rank = np.full(len(self.owned), r0, np.int64)
+        self.rank = np.zeros(len(self.owned), np.int64)
         et = [t for t in _ray.get(list(edge_refs))]
         if et:
             src = np.concatenate(
@@ -156,6 +157,17 @@ class _PRPartition:
         else:
             self.outdeg = np.empty(0, np.int64)
             self.dst_part = np.empty(0, np.int32)
+
+    def n_owned(self) -> int:
+        """Owned-node count (the pieces of N = |distinct endpoints| —
+        the global distinct is the sum over partitions, so no
+        sort-aggregate over |V| groups ever runs)."""
+        return len(self.owned)
+
+    def seed(self, r0: int, base: int):
+        self.base = base
+        self.rank = np.full(len(self.owned), r0, np.int64)
+        return self.q
 
     def scatter(self):
         """Contribution blocks for every destination partition (list of
@@ -205,7 +217,6 @@ def pagerank(edges_ds, iters: int = 3, num_partitions: int | None = None):
     docstring has the full architecture)."""
     import ray as _ray
     import ray.data as _rd
-    from ray.data.aggregate import Count as _Count
 
     empty = pa.table({"node": pa.array([], pa.int64()),
                       "pr": pa.array([], pa.int64())})
@@ -222,35 +233,30 @@ def pagerank(edges_ds, iters: int = 3, num_partitions: int | None = None):
     p = num_partitions
 
     def endpoints(b: pa.Table) -> pa.Table:
+        # per-block pre-dedup only; the GLOBAL distinct happens inside
+        # the actors (np.unique over each partition's received rows) —
+        # a sort-aggregate over |V| groups measured 49 s at 2M nodes,
+        # two orders slower than the partition sort it replaces
         u = b.column("src").to_numpy(zero_copy_only=False)
         v = b.column("dst").to_numpy(zero_copy_only=False)
         return pa.table({"node": pa.array(
             np.unique(np.concatenate([u, v])), pa.int64())})
 
-    def _typed_nodes(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"node": pa.array([], pa.int64())})
-        return b.select(["node"])
-
-    nodes = (
-        edges_ds.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("node").aggregate(_Count())  # distinct via grouped count
-        .map_batches(_typed_nodes, batch_format="pyarrow")
-        .materialize()
-    )
-    n = nodes.count()
-    r0 = SCALE // n
-    base = (15 * (SCALE // n)) // 100
-
+    nodes = edges_ds.map_batches(endpoints, batch_format="pyarrow")
     node_parts = _hash_partition_refs(nodes, "node", p, ["node"])
     edge_parts = _hash_partition_refs(edges_ds, "src", p, ["src", "dst"])
 
     Actor = _ray.remote(num_cpus=1)(_PRPartition)
     actors = [
-        Actor.remote(q, p, node_parts.get(q, []), edge_parts.get(q, []), r0, base)
+        Actor.remote(q, p, node_parts.get(q, []), edge_parts.get(q, []))
         for q in range(p)
     ]
     try:
+        # N = sum of per-partition owned counts (partitions are disjoint)
+        n = sum(_ray.get([a.n_owned.remote() for a in actors]))
+        r0 = SCALE // n
+        base = (15 * (SCALE // n)) // 100
+        _ray.get([a.seed.remote(r0, base) for a in actors])
         for _ in range(iters):
             outs = [a.scatter.options(num_returns=p).remote() for a in actors]
             if p == 1:
