@@ -1409,7 +1409,32 @@ def _q_zonal_stats(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Order matters operationally: the driver's correctness gate walks this
+    # dict in insertion order under a budget (r4 covered only the first 50
+    # of 69).  The 19 queries that therefore lack an r4 oracle row run
+    # FIRST in r5 so every query has a recent green row; the r4-verified
+    # ones follow.
     return {
+        "sessionize": _q_sessionize,
+        "asof_purchase": _q_asof_purchase,
+        "events_window": _q_events_window,
+        "events_sliding": _q_events_sliding,
+        "events_topk": _q_events_topk,
+        "doc_sample": _q_doc_sample,
+        "doc_length_percentiles": _q_doc_length_percentiles,
+        "events_hourly": _q_events_hourly,
+        "geo_extract": _q_geo_extract,
+        "tile_assign": _q_tile_assign,
+        "cell_agg": _q_cell_agg,
+        "bbox_join": _q_bbox_join,
+        "pip_join": _q_pip_join,
+        "knn": _q_knn,
+        "knn_grid": _q_knn_grid,
+        "text_invariant": _q_text_invariant,
+        "dedup_exact": _q_dedup_exact,
+        "lineitem_agg": _q_lineitem_agg,
+        "top_customers": _q_top_customers,
+        "events_by_type": _q_events_by_type,
         "token_stats": _q_token_stats,
         "pack_sequences": _q_pack_sequences,
         "pagerank": _q_pagerank,
@@ -1459,26 +1484,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "conformance_vectors": _q_conformance_vectors,
         "poly_join": _q_poly_join,
-        "sessionize": _q_sessionize,
-        "asof_purchase": _q_asof_purchase,
-        "events_window": _q_events_window,
-        "events_sliding": _q_events_sliding,
-        "events_topk": _q_events_topk,
-        "doc_sample": _q_doc_sample,
-        "doc_length_percentiles": _q_doc_length_percentiles,
-        "events_hourly": _q_events_hourly,
-        "geo_extract": _q_geo_extract,
-        "tile_assign": _q_tile_assign,
-        "cell_agg": _q_cell_agg,
-        "bbox_join": _q_bbox_join,
-        "pip_join": _q_pip_join,
-        "knn": _q_knn,
-        "knn_grid": _q_knn_grid,
-        "text_invariant": _q_text_invariant,
-        "dedup_exact": _q_dedup_exact,
-        "lineitem_agg": _q_lineitem_agg,
-        "top_customers": _q_top_customers,
-        "events_by_type": _q_events_by_type,
     }
 
 

@@ -193,6 +193,18 @@ def cmd_curate(args):
 
     filt = docs.map_batches(annotate_filter, batch_format="pyarrow")
 
+    # The DAG branches below (survivor groupby + join left side) — without
+    # a checkpoint each consumer re-executes quality/langid/hash over the
+    # full corpus.  Write the annotated rows through parquet ONCE
+    # (streaming, disk-backed — the flagship's geo_cache="spill" shape;
+    # an in-object-store materialize would pin the whole filtered corpus).
+    import shutil
+    import tempfile
+
+    ann_dir = tempfile.mkdtemp(prefix="georay-curate-annotated-")
+    filt.write_parquet(ann_dir)
+    filt = ray.data.read_parquet(ann_dir)
+
     # exact dedup: survivor ids from a 16-byte-key groupby, then a semi
     # join back (the full rows never shuffle through the key groupby)
     survivors = (
@@ -213,6 +225,7 @@ def cmd_curate(args):
         batch_format="pyarrow",
     )
     sampled.write_parquet(args.out, partition_cols=["lang_pred"])
+    shutil.rmtree(ann_dir, ignore_errors=True)
 
     out_ds = ray.data.read_parquet(args.out)
     n_out = out_ds.count()

@@ -57,9 +57,9 @@ SCALE = 10**12
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 #: synthetic outlink multipliers (tests/bench only; real pipelines bring
-#: their own edge list).  dst_j = (src * A + (j+1) * B) % num_nodes —
-#: valid while num_nodes * A < 2**63 (num_nodes < ~3.5e9), enough for
-#: every test scale; the operator itself has no such bound.
+#: their own edge list).  dst_j = (src * A + j * B) % num_nodes for
+#: j = 1..k — valid while num_nodes * A < 2**63 (num_nodes < ~3.5e9),
+#: enough for every test scale; the operator itself has no such bound.
 LINK_A = 2654435761
 LINK_B = 40503
 
@@ -84,8 +84,11 @@ def _part_of(key: np.ndarray, p: int) -> np.ndarray:
 
 def _hash_partition_refs(ds, key_col: str, p: int, cols: list[str]):
     """Hash-partition ``ds`` on ``key_col`` with ONE Ray Data groupby and
-    return {part: [block refs]} without pulling blocks to the driver
-    (a tiny peek task reads each block's part id where the block lives)."""
+    return {part: [sub-table refs]} without pulling rows to the driver.
+    Groupby-output blocks can span several parts, so a per-block split
+    task (running where the block lives) projects to ``cols`` and
+    ``ray.put``s one sub-table per part — each actor then fetches ONLY
+    its own rows instead of every multi-part block it appears in."""
     import ray as _ray
 
     def add_part(b: pa.Table) -> pa.Table:
@@ -104,18 +107,23 @@ def _hash_partition_refs(ds, key_col: str, p: int, cols: list[str]):
     refs = parted.to_arrow_refs()
 
     @_ray.remote(num_cpus=0)
-    def peek(t: pa.Table):
+    def split(t: pa.Table):
         if t.num_rows == 0:
-            return -1
-        # a block may span several groups — report every part inside
-        return np.unique(t.column("part").to_numpy(zero_copy_only=False)).tolist()
+            return []
+        part = t.column("part").to_numpy(zero_copy_only=False)
+        proj = t.select(cols)
+        uniq = np.unique(part)
+        if len(uniq) == 1:  # common case: block wholly inside one part
+            return [(int(uniq[0]), _ray.put(proj.combine_chunks()))]
+        return [
+            (int(q), _ray.put(proj.filter(pa.array(part == q)).combine_chunks()))
+            for q in uniq
+        ]
 
     by_part: dict[int, list] = {}
-    for r, parts in zip(refs, _ray.get([peek.remote(r) for r in refs])):
-        if parts == -1:
-            continue
-        for q in parts:
-            by_part.setdefault(int(q), []).append(r)
+    for pieces in _ray.get([split.remote(r) for r in refs]):
+        for q, sub in pieces:
+            by_part.setdefault(q, []).append(sub)
     return by_part
 
 

@@ -351,9 +351,10 @@ def focal_partial(batch: pa.Table, res: int, tile: int) -> pa.Table:
     if isinstance(band, pa.ChunkedArray):
         band = band.combine_chunks()
     bands = band.flatten().to_numpy(zero_copy_only=False).reshape(len(tx), tile, tile)
-    # vectorized 3x3 box sum on a zero-padded (T+4) canvas per tile: R is
-    # (T+2)^2, R[i,j] = sum of B over the 3x3 window centred on padded
-    # (i,j); computed as 9 shifted adds, no Python per pixel
+    # vectorized 3x3 box sum per tile: R is (T+2)x(T+2) (the tile plus a
+    # one-pixel halo each side), R[i,j] = sum of B over the 3x3 window
+    # centred on padded (i,j); computed as 9 shifted adds, no Python per
+    # pixel
     R = np.zeros((len(tx), tile + 2, tile + 2), dtype=np.int64)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
