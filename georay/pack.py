@@ -143,19 +143,30 @@ def pack_sequences(ds, seq_len: int = 512, id_col: str = "doc_id",
 
     # pass 1: per-bucket sums combined per block.  Each block touches
     # ~ceil(its key span / width) buckets — with any key locality in the
-    # layout that's O(1) rows per block — so the combined partials are
-    # O(num_blocks + num_buckets) rows total and a driver-side concat of
-    # the per-block refs is cheaper than a merge shuffle (the tree_merge
-    # variant paid two repartition barriers, ~3 s at sf0.1, to merge a
-    # few-thousand-row table).
+    # layout that's O(1) rows per block — but with randomly-placed ids a
+    # block can touch up to num_buckets, so the driver-side concat is
+    # gated on block count: up to _DIRECT_MERGE_MAX_BLOCKS refs are
+    # concatenated directly (cheaper than a merge shuffle — the Dataset
+    # tree_merge variant paid two repartition barriers, ~3 s at sf0.1,
+    # to merge a few-thousand-row table); above that, remote fan-in
+    # tasks reduce the partials where they live until at most one
+    # fan-in's worth remain, so driver rows stay
+    # O(fanout x num_buckets) regardless of num_blocks.
     st = slim.map_batches(
         lambda t: _bucket_sums_partial(t, id_col, width),
         batch_format="pyarrow",
     ).to_arrow_refs()
     import ray as _ray
 
+    refs = list(st)
+    while len(refs) > _DIRECT_MERGE_MAX_BLOCKS:
+        task = _merge_partials_remote()
+        refs = [
+            task.remote(*refs[i : i + _MERGE_FANOUT])
+            for i in range(0, len(refs), _MERGE_FANOUT)
+        ]
     merged = _bucket_sums_partial_merge(
-        pa.concat_tables([_ray.get(r) for r in st])
+        pa.concat_tables(_ray.get(refs))
     )
     n_dense = num_buckets
     if merged.num_rows:
@@ -171,7 +182,10 @@ def pack_sequences(ds, seq_len: int = 512, id_col: str = "doc_id",
 
     from georay.pipelines.events import _partition_of, default_partitions
 
-    p = default_partitions(num_partitions)
+    # slim is materialized (or a parquet read), so its row count is free
+    # plan metadata — the partition count scales with the data, not just
+    # the cluster (at 10^12 rows a fixed cap would put ~62 GB in one task)
+    p = default_partitions(num_partitions, ds=slim)
 
     def add_part(b: pa.Table) -> pa.Table:
         key = b.column(id_col).to_numpy(zero_copy_only=False)
@@ -190,9 +204,35 @@ def pack_sequences(ds, seq_len: int = 512, id_col: str = "doc_id",
     )
 
 
+#: direct driver concat is allowed up to this many per-block partial
+#: refs — worst case 64 x num_buckets (4096) = 256k 16-B rows on the
+#: driver; beyond that, fan-in tasks reduce remotely first.
+_DIRECT_MERGE_MAX_BLOCKS = 64
+_MERGE_FANOUT = 64
+
+
 def _bucket_sums_partial_merge(t: pa.Table) -> pa.Table:
     if t.num_rows == 0:
         return pa.table({"bucket": pa.array([], pa.int64()),
                          "sum_tokens": pa.array([], pa.int64())})
     g = t.group_by("bucket").aggregate([("sum_tokens", "sum")])
     return g.rename_columns(["bucket", "sum_tokens"])
+
+
+_MERGE_TASK = None
+
+
+def _merge_partials_remote():
+    """Lazily-defined fan-in reduce task (ray import stays function-local,
+    matching the rest of this module): concat + re-group a handful of
+    per-block bucket partials where they live; output <= num_buckets rows."""
+    global _MERGE_TASK
+    if _MERGE_TASK is None:
+        import ray as _ray
+
+        @_ray.remote
+        def merge_bucket_partials(*parts: pa.Table) -> pa.Table:
+            return _bucket_sums_partial_merge(pa.concat_tables(list(parts)))
+
+        _MERGE_TASK = merge_bucket_partials
+    return _MERGE_TASK

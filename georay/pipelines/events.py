@@ -115,14 +115,44 @@ def window_top1_partition(g: pd.DataFrame) -> pd.DataFrame:
     return window_topk_partition(g, k=1)[["user_id", "event_id"]]
 
 
-def default_partitions(num_partitions: int | None = None) -> int:
-    """Cluster-sized partition count (a fixed constant starves a big
-    cluster; pattern: `__ray_entry__._q_segment_revenue`)."""
+#: target rows handled by ONE map_groups task.  At 10^12 input rows this
+#: yields ~500k requested partitions, clamped to MAX_PARTITIONS (~15M
+#: rows/task at the clamp — a few hundred MB of working set, still
+#: worker-heap-safe), instead of the former fixed 256-task cap whose
+#: per-task share grew linearly with the data.
+ROWS_PER_PARTITION = 2_000_000
+MAX_PARTITIONS = 65_536
+
+
+def default_partitions(
+    num_partitions: int | None = None,
+    ds=None,
+    n_rows: int | None = None,
+    rows_per_partition: int = ROWS_PER_PARTITION,
+) -> int:
+    """Partition count sized to the CLUSTER **and the DATA**.
+
+    Floor = 2x cluster CPUs (a fixed constant starves a big cluster;
+    pattern: `__ray_entry__._q_segment_revenue`); when a row count is
+    known — passed explicitly or read for free from Ray Data's plan
+    metadata (``_meta_count`` never triggers computation; parquet reads
+    know their row count) — the count additionally scales as
+    ceil(rows / rows_per_partition) so one map_groups task's share stays
+    bounded as the data grows (rows-aware pattern:
+    ``dedup._normalize_blocks``)."""
     if num_partitions is not None:
         return num_partitions
     import ray
 
-    return max(4, min(int(ray.cluster_resources().get("CPU", 4)) * 2, 256))
+    p = max(4, int(ray.cluster_resources().get("CPU", 4)) * 2)
+    if n_rows is None and ds is not None:
+        try:
+            n_rows = ds._meta_count()
+        except Exception:
+            n_rows = None
+    if n_rows is not None and n_rows > 0:
+        p = max(p, -(-int(n_rows) // max(1, rows_per_partition)))
+    return min(p, MAX_PARTITIONS)
 
 
 def _by_user_partition(ds, kernel, num_partitions: int | None):
@@ -130,7 +160,7 @@ def _by_user_partition(ds, kernel, num_partitions: int | None):
     partition."""
     import pyarrow as pa
 
-    p = default_partitions(num_partitions)
+    p = default_partitions(num_partitions, ds=ds)
 
     def add_part(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -267,7 +297,7 @@ def events_sliding(ds, window_us: int = HOUR_US, num_partitions: int | None = No
 
     if window_us > DAY_US:
         raise ValueError("events_sliding requires window <= 1 day (overlap = 1 period)")
-    p = default_partitions(num_partitions)
+    p = default_partitions(num_partitions, ds=ds)
 
     def explode(b: pa.Table) -> pa.Table:
         ts = b.column("ts").cast(pa.int64()).to_numpy()

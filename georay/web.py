@@ -111,7 +111,11 @@ def host_quota(pages_ds, quota: int, num_partitions: int | None = None):
     ORDER BY doc_id) <= quota."""
     from georay.pipelines.events import _partition_of, default_partitions
 
-    p = default_partitions(num_partitions)
+    # the shuffled rows are bounded by quota x hosts, but the input row
+    # count (free plan metadata when pages_ds is a fresh read) is a safe
+    # upper bound for sizing — extra partitions are cheap, oversized
+    # per-task shares are not
+    p = default_partitions(num_partitions, ds=pages_ds)
 
     def slim(b: pa.Table) -> pa.Table:
         t = pa.table({
