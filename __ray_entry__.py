@@ -1668,8 +1668,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000 < r.bp""",
         "chunk_text": """
             SELECT doc_id, j AS chunk_id, substr(text, j*150 + 1, 200) AS chunk
-            FROM documents, range(0, 4096) t(j)
-            WHERE j*150 < GREATEST(length(text), 1)""",
+            FROM (SELECT doc_id, text,
+                         UNNEST(range(0, CAST(ceil(GREATEST(length(text), 1)
+                                                   / 150.0) AS BIGINT))) AS j
+                  FROM documents)""",
         "pack_sequences": """
             WITH t AS (
               SELECT doc_id,

@@ -415,6 +415,13 @@ def repetition_stats_batch(
     )
 
 
+#: docs with more chunks than this leave the by-chunk-index loop and are
+#: sliced individually — one pathological 100 MB doc in a 500-row block
+#: would otherwise run the loop ~667k times, filtering the whole block
+#: each iteration.  With the split, total work is O(output chars).
+LONG_DOC_CHUNKS = 256
+
+
 def chunk_text_batch(batch: pa.Table, size: int = 200, stride: int = 150,
                      text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Fixed-size overlapping character windows per document (embedding /
@@ -425,8 +432,11 @@ def chunk_text_batch(batch: pa.Table, size: int = 200, stride: int = 150,
     Vectorized BY CHUNK INDEX, not by row: chunk j of every document in
     the block is one ``utf8_slice_codeunits`` call with fixed offsets, so
     the loop runs max-chunks-per-block times (typically < 100) instead of
-    once per row.  SQL mirror: substr(text, j*stride+1, size) over a
-    range(j) join."""
+    once per row.  Documents longer than LONG_DOC_CHUNKS windows are
+    split out and sliced per document (Python codepoint slices, work
+    proportional to their own output) so one pathological doc cannot make
+    the loop re-filter the whole block per chunk.  SQL mirror:
+    substr(text, j*stride+1, size) over a range(j) join."""
     n = batch.num_rows
     empty = pa.table({
         id_col: pa.array([], pa.int64()),
@@ -441,7 +451,24 @@ def chunk_text_batch(batch: pa.Table, size: int = 200, stride: int = 150,
     # j*stride < max(len,1)  <=>  j < ceil(max(len,1)/stride)
     n_chunks = -(-np.maximum(lens, 1) // stride)
     out = []
-    for j in range(int(n_chunks.max())):
+    long_idx = np.nonzero(n_chunks > LONG_DOC_CHUNKS)[0]
+    if len(long_idx):
+        for i in long_idx:
+            s = text[int(i)].as_py() or ""
+            c = int(n_chunks[i])
+            out.append(pa.table({
+                id_col: pa.array(
+                    np.full(c, ids[int(i)].as_py(), np.int64), pa.int64()),
+                "chunk_id": pa.array(np.arange(c, dtype=np.int64), pa.int64()),
+                "chunk": pa.array(
+                    [s[j * stride : j * stride + size] for j in range(c)],
+                    pa.string()),
+            }))
+        short = pa.array(n_chunks <= LONG_DOC_CHUNKS)
+        text = text.filter(short)
+        ids = ids.filter(short)
+        n_chunks = n_chunks[n_chunks <= LONG_DOC_CHUNKS]
+    for j in range(int(n_chunks.max()) if len(n_chunks) else 0):
         m = n_chunks > j
         mask = pa.array(m)
         sl = pc.utf8_slice_codeunits(

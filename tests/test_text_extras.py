@@ -276,3 +276,63 @@ class TestChunkText:
         })
         out = chunk_text_batch(t, size=4, stride=4).to_pandas()
         assert len(out) == 1 and out.chunk_id.iloc[0] == 0
+
+
+class TestChunkTextLongDocSplit:
+    def test_long_doc_matches_loop_path(self):
+        """A doc over the LONG_DOC_CHUNKS bound takes the per-doc slice
+        path; output must be identical to what the by-chunk-index loop
+        would produce (verified against a brute-force python reference),
+        and short docs in the same block are unaffected."""
+        import pyarrow as pa
+        import georay.text as text_mod
+
+        long_text = "".join(chr(ord("a") + (i % 26)) for i in range(5000))
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([long_text, "xy", ""], pa.string()),
+        })
+        size, stride = 7, 5
+        assert -(-len(long_text) // stride) > text_mod.LONG_DOC_CHUNKS
+        out = (text_mod.chunk_text_batch(t, size=size, stride=stride)
+               .to_pandas().sort_values(["doc_id", "chunk_id"]))
+        d1 = out[out.doc_id == 1]
+        want = [long_text[j * stride : j * stride + size]
+                for j in range(-(-len(long_text) // stride))]
+        assert list(d1.chunk) == want
+        assert list(d1.chunk_id) == list(range(len(want)))
+        assert list(out[out.doc_id == 2].chunk) == ["xy"]
+        assert list(out[out.doc_id == 3].chunk) == [""]
+
+    def test_10mb_doc_in_block_is_fast(self):
+        """One 10 MB doc among 500 rows: must complete in seconds (the
+        old loop re-filtered the 500-row block ~67k times)."""
+        import time
+        import pyarrow as pa
+        from georay.text import chunk_text_batch
+
+        texts = ["short text"] * 499 + ["z" * 10_000_000]
+        t = pa.table({
+            "doc_id": pa.array(range(500), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        t0 = time.monotonic()
+        out = chunk_text_batch(t, size=200, stride=150)
+        dt = time.monotonic() - t0
+        assert out.num_rows == 499 + -(-10_000_000 // 150)
+        assert dt < 10.0
+
+    def test_all_long_docs(self):
+        import pyarrow as pa
+        import georay.text as text_mod
+
+        s = "ab" * 30_000  # 60k chars, 400 chunks at stride 150
+        t = pa.table({
+            "doc_id": pa.array([5], pa.int64()),
+            "text": pa.array([s], pa.string()),
+        })
+        out = (text_mod.chunk_text_batch(t, size=200, stride=150)
+               .to_pandas().sort_values("chunk_id"))
+        assert len(out) == -(-60_000 // 150)
+        assert out.chunk.iloc[0] == s[:200]
+        assert out.chunk.iloc[-1] == s[(len(out) - 1) * 150:][:200]
