@@ -79,13 +79,14 @@ def _bucket_sums_partial(t: pa.Table, id_col: str, width: int) -> pa.Table:
     return g.rename_columns(["bucket", "sum_tokens"])
 
 
-def _scan_partition(g: pd.DataFrame, offsets: np.ndarray, width: int,
-                    seq_len: int, id_col: str) -> pd.DataFrame:
-    """One vectorized multi-bucket exclusive scan over a partition.
-    Every bucket is wholly inside this partition, so the partition-local
-    per-bucket running sums are the bucket-global ones."""
-    key = g[id_col].to_numpy()
-    nt = g["n_tokens"].to_numpy().astype(np.int64)
+def _scan_partition(g: pa.Table, offsets: np.ndarray, width: int,
+                    seq_len: int, id_col: str) -> pa.Table:
+    """One vectorized multi-bucket exclusive scan over a partition's
+    Arrow block (numpy views, no pandas copy).  Every bucket is wholly
+    inside this partition, so the partition-local per-bucket running
+    sums are the bucket-global ones."""
+    key = g.column(id_col).to_numpy(zero_copy_only=False)
+    nt = g.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
     bucket = key // width
     order = np.lexsort((key, bucket))
     key, nt, bucket = key[order], nt[order], bucket[order]
@@ -93,11 +94,11 @@ def _scan_partition(g: pd.DataFrame, offsets: np.ndarray, width: int,
     starts = np.r_[0, np.flatnonzero(bucket[1:] != bucket[:-1]) + 1]
     base = np.repeat(exc[starts], np.diff(np.r_[starts, len(bucket)]))
     off = offsets[bucket] + (exc - base)
-    return pd.DataFrame({
-        id_col: key,
-        "n_tokens": nt,
-        "tok_offset": off,
-        "bin": off // seq_len,
+    return pa.table({
+        id_col: pa.array(key.astype(np.int64), pa.int64()),
+        "n_tokens": pa.array(nt, pa.int64()),
+        "tok_offset": pa.array(off.astype(np.int64), pa.int64()),
+        "bin": pa.array((off // seq_len).astype(np.int64), pa.int64()),
     })
 
 
@@ -192,15 +193,22 @@ def pack_sequences(ds, seq_len: int = 512, id_col: str = "doc_id",
         part = _partition_of(key // width, p)
         return b.append_column("part", pa.array(part))
 
-    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "tok_offset": pa.array([], pa.int64()),
+                "bin": pa.array([], pa.int64()),
+            })
         return _scan_partition(
-            g.drop(columns=["part"]), _ray.get(offsets_ref), width, seq_len, id_col
+            g.drop_columns(["part"]), _ray.get(offsets_ref), width, seq_len, id_col
         )
 
     return (
         slim.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(kernel, batch_format="pandas")
+        .map_groups(kernel, batch_format="pyarrow")
     )
 
 

@@ -31,62 +31,102 @@ def _partition_of(user_id: np.ndarray, num_partitions: int) -> np.ndarray:
     return (h % np.uint64(num_partitions)).astype(np.int32)
 
 
-def sessionize_partition(g: pd.DataFrame, gap_us: int = GAP_US) -> pd.DataFrame:
+def _as_table(g) -> "pa.Table":
+    """Accept the map_groups pyarrow block or a pandas frame (unit tests,
+    callers predating the zero-copy kernels)."""
+    import pyarrow as pa
+
+    if isinstance(g, pa.Table):
+        return g
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _ts_us(col) -> np.ndarray:
+    """Arrow timestamp column -> int64 microseconds since epoch."""
+    import pyarrow as pa
+
+    return col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+
+
+def sessionize_partition(g, gap_us: int = GAP_US):
     """ALL users of one hash partition -> session rows (user_id,
-    session_idx, n_events, t_start, t_end), fully vectorized: one sort by
-    (user_id, ts, event_id), boundary mask (user change OR gap), cumsum
-    rebased per user."""
-    g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
-    user = g["user_id"].to_numpy()
-    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-    n = len(g)
+    session_idx, n_events, t_start, t_end), fully vectorized over the
+    Arrow block (no pandas copy): one lexsort by (user_id, ts, event_id),
+    boundary mask (user change OR gap), per-run reduction — sessions are
+    contiguous runs of the sorted order, so min/max/size are the run's
+    first/last/width."""
+    import pyarrow as pa
+
+    g = _as_table(g)
+    n = g.num_rows
     if n == 0:
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": np.empty(0, np.int64),
-                "session_idx": np.empty(0, np.int64),
-                "n_events": np.empty(0, np.int64),
-                "t_start": np.empty(0, "datetime64[us]"),
-                "t_end": np.empty(0, "datetime64[us]"),
+                "user_id": pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "t_start": pa.array([], pa.timestamp("us")),
+                "t_end": pa.array([], pa.timestamp("us")),
             }
         )
-    new_sess = np.ones(n, dtype=np.int64)
+    user = g.column("user_id").to_numpy(zero_copy_only=False)
+    ts = _ts_us(g.column("ts"))
+    eid = g.column("event_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, user))
+    user, ts = user[order], ts[order]
+    new_sess = np.ones(n, dtype=bool)
     same_user = user[1:] == user[:-1]
     new_sess[1:] = (~same_user) | (np.diff(ts) > gap_us)
-    sidx_global = np.cumsum(new_sess)
-    user_start = np.ones(n, dtype=bool)
-    user_start[1:] = ~same_user
-    base = sidx_global[user_start]
-    session_idx = sidx_global - np.repeat(base, np.diff(np.append(np.nonzero(user_start)[0], n))) + 1
-    out = pd.DataFrame(
+    starts = np.nonzero(new_sess)[0]
+    ends = np.append(starts[1:], n)
+    su = user[starts]
+    us_start = np.ones(len(starts), dtype=bool)
+    us_start[1:] = su[1:] != su[:-1]
+    base = np.nonzero(us_start)[0]
+    session_idx = (
+        np.arange(len(starts), dtype=np.int64)
+        - np.repeat(base, np.diff(np.append(base, len(starts))))
+        + 1
+    )
+    return pa.table(
         {
-            "user_id": user,
-            "session_idx": session_idx,
-            "ts": g["ts"].to_numpy(),
+            "user_id": pa.array(su.astype(np.int64), pa.int64()),
+            "session_idx": pa.array(session_idx, pa.int64()),
+            "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "t_start": pa.array(ts[starts].astype("datetime64[us]")),
+            "t_end": pa.array(ts[ends - 1].astype("datetime64[us]")),
         }
     )
-    agg = out.groupby(["user_id", "session_idx"], sort=True).agg(
-        n_events=("ts", "size"), t_start=("ts", "min"), t_end=("ts", "max")
-    )
-    return agg.reset_index()
 
 
-def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
+def asof_partition(g):
     """ALL users of one hash partition -> (event_id, last_purchase): the
     most recent STRICTLY-earlier 'purchase' per event.  Fully vectorized
-    via composite (user_rank, ts_rank) keys: one searchsorted against the
-    sorted purchase key array counts each row's strictly-earlier
-    same-user purchases (strictness is exact — equal timestamps differ in
-    key), then a gather fetches that purchase's timestamp."""
-    n = len(g)
+    over the Arrow block via composite (user_rank, ts_rank) keys: one
+    searchsorted against the sorted purchase key array counts each row's
+    strictly-earlier same-user purchases (strictness is exact — equal
+    timestamps differ in key), then a gather fetches that purchase's
+    timestamp."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    g = _as_table(g)
+    n = g.num_rows
     if n == 0:
-        return pd.DataFrame(
-            {"event_id": np.empty(0, np.int64), "last_purchase": np.empty(0, "datetime64[us]")}
+        return pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "last_purchase": pa.array([], pa.timestamp("us")),
+            }
         )
-    user = g["user_id"].to_numpy()
-    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-    ev_id = g["event_id"].to_numpy()
-    is_p = (g["event_type"] == "purchase").to_numpy()
+    user = g.column("user_id").to_numpy(zero_copy_only=False)
+    ts = _ts_us(g.column("ts"))
+    ev_id = g.column("event_id").to_numpy(zero_copy_only=False)
+    is_p = pc.equal(
+        g.column("event_type"), pa.scalar("purchase")
+    ).to_numpy(zero_copy_only=False)
 
     uniq_u, user_rank = np.unique(user, return_inverse=True)
     uniq_t, ts_rank = np.unique(ts, return_inverse=True)
@@ -104,15 +144,20 @@ def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
     last = np.full(n, np.datetime64("NaT", "us"))
     has = cnt_in_user > 0
     last[has] = p_ts[cnt_before[has] - 1].astype("datetime64[us]")
-    return pd.DataFrame({"event_id": ev_id, "last_purchase": last})
+    return pa.table(
+        {
+            "event_id": pa.array(ev_id.astype(np.int64), pa.int64()),
+            "last_purchase": pa.array(last),
+        }
+    )
 
 
-def window_top1_partition(g: pd.DataFrame) -> pd.DataFrame:
+def window_top1_partition(g):
     """ALL users of one hash partition -> highest-value event per user
     (ties: earliest ts, then lowest event_id): the k=1 special case of
     :func:`window_topk_partition` with the rank column dropped — one
     tie-break key list, no drift between the two kernels."""
-    return window_topk_partition(g, k=1)[["user_id", "event_id"]]
+    return window_topk_partition(g, k=1).select(["user_id", "event_id"])
 
 
 #: target rows handled by ONE map_groups task.  At 10^12 input rows this
@@ -171,8 +216,8 @@ def _by_user_partition(ds, kernel, num_partitions: int | None):
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(
-            lambda g: kernel(g.drop(columns=["part"])),
-            batch_format="pandas",
+            lambda g: kernel(g.drop_columns(["part"])),
+            batch_format="pyarrow",
         )
     )
 
@@ -195,22 +240,31 @@ def window_top1(ds, num_partitions: int | None = None):
     return _by_user_partition(ds, window_top1_partition, num_partitions)
 
 
-def window_topk_partition(g: pd.DataFrame, k: int) -> pd.DataFrame:
+def window_topk_partition(g, k: int):
     """ALL users of one hash partition -> each user's top-k events by
     (value desc, ts, event_id) with their 1-based rank.  One vectorized
-    sort + per-user rank rebase over the whole partition."""
-    if len(g) == 0:
-        return pd.DataFrame(
-            {"user_id": np.empty(0, np.int64), "event_id": np.empty(0, np.int64),
-             "rank": np.empty(0, np.int64)}
+    lexsort + per-user rank rebase over the Arrow block (no pandas
+    copy)."""
+    import pyarrow as pa
+
+    g = _as_table(g)
+    n = g.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
         )
-    g = g.sort_values(
-        ["user_id", "value", "ts", "event_id"],
-        ascending=[True, False, True, True],
-        kind="stable",
-    )
-    user = g["user_id"].to_numpy()
-    n = len(g)
+    user = g.column("user_id").to_numpy(zero_copy_only=False)
+    value = g.column("value").to_numpy(zero_copy_only=False)
+    ts = _ts_us(g.column("ts"))
+    eid = g.column("event_id").to_numpy(zero_copy_only=False)
+    # value DESC via negation (the events value column is finite — the
+    # pandas ascending=False path had the same no-NaN assumption)
+    order = np.lexsort((eid, ts, -value.astype(np.float64), user))
+    user = user[order]
     start = np.ones(n, bool)
     start[1:] = user[1:] != user[:-1]
     first = np.nonzero(start)[0]
@@ -218,11 +272,11 @@ def window_topk_partition(g: pd.DataFrame, k: int) -> pd.DataFrame:
         first, np.diff(np.append(first, n))
     ) + 1
     m = rank <= k
-    return pd.DataFrame(
+    return pa.table(
         {
-            "user_id": user[m],
-            "event_id": g["event_id"].to_numpy()[m],
-            "rank": rank[m],
+            "user_id": pa.array(user[m].astype(np.int64), pa.int64()),
+            "event_id": pa.array(eid[order][m].astype(np.int64), pa.int64()),
+            "rank": pa.array(rank[m], pa.int64()),
         }
     )
 
@@ -243,25 +297,38 @@ HOUR_US = 3_600_000_000
 DAY_US = 86_400_000_000
 
 
-def sliding_count_partition(g: pd.DataFrame, window_us: int = HOUR_US) -> pd.DataFrame:
+def sliding_count_partition(g, window_us: int = HOUR_US):
     """ALL (event_type, day) groups of one hash partition -> per-event
     trailing-window count (events of the same type with ts in
     [ts - window, ts], ties included — SQL RANGE-frame semantics).
-    Vectorized: one sort, then per-(type, day) segment a pair of
-    ``searchsorted`` calls over the whole segment at once; replicated
+    Vectorized over the Arrow block: event_type factorized to lex-ordered
+    codes (np.unique), one lexsort, then per-(type, day) segment a pair
+    of ``searchsorted`` calls over the whole segment at once; replicated
     overlap rows (own == 0) participate in the counts but emit nothing."""
-    if len(g) == 0:
-        return pd.DataFrame(
-            {"event_id": np.empty(0, np.int64), "n_trailing": np.empty(0, np.int64)}
+    import pyarrow as pa
+
+    g = _as_table(g)
+    n = g.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "n_trailing": pa.array([], pa.int64()),
+            }
         )
-    g = g.sort_values(["event_type", "day", "ts", "event_id"], kind="stable")
-    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-    own = g["own"].to_numpy().astype(bool)
-    ev = g["event_id"].to_numpy()
-    seg_key = (g["event_type"].astype("category").cat.codes.to_numpy().astype(np.int64)
-               * np.int64(1 << 32) + g["day"].to_numpy())
+    ts = _ts_us(g.column("ts"))
+    own = g.column("own").to_numpy(zero_copy_only=False).astype(bool)
+    ev = g.column("event_id").to_numpy(zero_copy_only=False)
+    day = g.column("day").to_numpy(zero_copy_only=False)
+    et = g.column("event_type").to_numpy(zero_copy_only=False)
+    # np.unique codes are lexicographically ordered — sorting by code is
+    # sorting by event_type (only equal-value grouping matters here)
+    _, codes = np.unique(et, return_inverse=True)
+    order = np.lexsort((ev, ts, day, codes))
+    ts, own, ev = ts[order], own[order], ev[order]
+    seg_key = codes[order].astype(np.int64) * np.int64(1 << 32) + day[order]
     bounds = np.concatenate(
-        [[0], np.nonzero(seg_key[1:] != seg_key[:-1])[0] + 1, [len(g)]]
+        [[0], np.nonzero(seg_key[1:] != seg_key[:-1])[0] + 1, [n]]
     )
     out_ids, out_counts = [], []
     for s, e in zip(bounds[:-1], bounds[1:]):
@@ -271,10 +338,12 @@ def sliding_count_partition(g: pd.DataFrame, window_us: int = HOUR_US) -> pd.Dat
         m = own[s:e]
         out_ids.append(ev[s:e][m])
         out_counts.append((hi - lo)[m])
-    return pd.DataFrame(
+    return pa.table(
         {
-            "event_id": np.concatenate(out_ids).astype(np.int64),
-            "n_trailing": np.concatenate(out_counts).astype(np.int64),
+            "event_id": pa.array(
+                np.concatenate(out_ids).astype(np.int64), pa.int64()),
+            "n_trailing": pa.array(
+                np.concatenate(out_counts).astype(np.int64), pa.int64()),
         }
     )
 
@@ -326,7 +395,7 @@ def events_sliding(ds, window_us: int = HOUR_US, num_partitions: int | None = No
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("part")
         .map_groups(
-            lambda g: sliding_count_partition(g.drop(columns=["part"]), window_us),
-            batch_format="pandas",
+            lambda g: sliding_count_partition(g.drop_columns(["part"]), window_us),
+            batch_format="pyarrow",
         )
     )

@@ -136,13 +136,12 @@ def host_quota(pages_ds, quota: int, num_partitions: int | None = None):
         ).astype(np.uint64)
         return b.append_column("part", pa.array(_partition_of(hv, p)))
 
-    def exact(g):
-        t = pa.Table.from_pandas(g.drop(columns=["part"]), preserve_index=False)
-        return _quota_truncate(t, quota).to_pandas()
+    def exact(g: pa.Table) -> pa.Table:
+        return _quota_truncate(g.drop_columns(["part"]), quota)
 
     return (
         pages_ds.map_batches(slim, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(exact, batch_format="pandas")
+        .map_groups(exact, batch_format="pyarrow")
     )

@@ -26,7 +26,7 @@ class TestAsofStrictness:
             (1, 11, 100, "view"),     # same ts as the purchase: NOT earlier
             (1, 12, 200, "view"),
         ])
-        out = asof_partition(g).set_index("event_id")["last_purchase"]
+        out = asof_partition(g).to_pandas().set_index("event_id")["last_purchase"]
         assert pd.isna(out[10])  # a purchase's own instant is not earlier
         assert pd.isna(out[11])
         assert out[12] == pd.Timestamp(100, unit="s")
@@ -37,7 +37,7 @@ class TestAsofStrictness:
             (1, 11, 100, "purchase"),  # duplicate purchase ts
             (1, 12, 150, "view"),
         ])
-        out = asof_partition(g).set_index("event_id")["last_purchase"]
+        out = asof_partition(g).to_pandas().set_index("event_id")["last_purchase"]
         assert pd.isna(out[10]) and pd.isna(out[11])  # equal ts: strictly-earlier only
         assert out[12] == pd.Timestamp(100, unit="s")
 
@@ -47,7 +47,7 @@ class TestAsofStrictness:
             (2, 20, 150, "view"),      # user 2 has no purchases
             (1, 11, 200, "view"),
         ])
-        out = asof_partition(g).set_index("event_id")["last_purchase"]
+        out = asof_partition(g).to_pandas().set_index("event_id")["last_purchase"]
         assert pd.isna(out[20])
         assert out[11] == pd.Timestamp(100, unit="s")
 
@@ -78,7 +78,7 @@ class TestWindowTop1Partition:
             (3, 30, 1, 1.0),
             (3, 31, 1, 1.0),     # tie on value AND ts: lower event_id wins
         ])
-        out = window_top1_partition(g).set_index("user_id")["event_id"]
+        out = window_top1_partition(g).to_pandas().set_index("user_id")["event_id"]
         assert out[1] == 11
         assert out[2] == 21
         assert out[3] == 30
@@ -116,7 +116,7 @@ class TestSessionizePartition:
             (1, 12, 10 + gap_s + 1, "view"),        # gap -> session 2
             (2, 20, 5, "view"),                     # new user -> own session 1
         ])
-        out = sessionize_partition(g)
+        out = sessionize_partition(g).to_pandas()
         k = out.set_index(["user_id", "session_idx"])
         assert k.loc[(1, 1), "n_events"] == 2
         assert k.loc[(1, 2), "n_events"] == 1
@@ -125,7 +125,7 @@ class TestSessionizePartition:
     def test_boundary_exact_gap_is_same_session(self):
         gap_s = GAP_US // 1_000_000
         g = _df([(1, 10, 0, "view"), (1, 11, gap_s, "view")])  # diff == gap: NOT >
-        out = sessionize_partition(g)
+        out = sessionize_partition(g).to_pandas()
         assert len(out) == 1 and out.iloc[0]["n_events"] == 2
 
     def test_empty(self):
@@ -157,7 +157,7 @@ class TestSlidingWindow:
             (4, "view", 3 * H, 0, 1),    # outside every prior window
             (5, "click", H, 0, 1),       # different type: independent
         ])
-        out = sliding_count_partition(g).set_index("event_id")["n_trailing"]
+        out = sliding_count_partition(g).to_pandas().set_index("event_id")["n_trailing"]
         assert out[1] == 1
         assert out[2] == 3  # events 1 (boundary), 2, 3 (tie)
         assert out[3] == 3
@@ -172,7 +172,7 @@ class TestSlidingWindow:
             (10, "view", DAY_US - HOUR_US // 2, 1, 0),  # replicated (own=0)
             (11, "view", DAY_US, 1, 1),
         ])
-        out = sliding_count_partition(g)
+        out = sliding_count_partition(g).to_pandas()
         assert sorted(out.event_id) == [11]
         assert out.set_index("event_id")["n_trailing"][11] == 2
 
@@ -208,7 +208,7 @@ class TestWindowTopK:
             "ts": pd.to_datetime([5, 1, 1, 9], unit="s").astype("datetime64[us]"),
             "value": [7.0, 9.0, 9.0, 3.0],
         })
-        out = window_topk_partition(g, k=2)
+        out = window_topk_partition(g, k=2).to_pandas()
         got = set(zip(out.user_id, out.event_id, out["rank"]))
         # user 1: two value-9 events tie, earlier ts is rank 1 -> both
         # 11 (rank 1) and 12 (rank 2); event 10 (value 7) excluded
