@@ -388,6 +388,27 @@ def _q_pagerank(sf_dir: str):
     return pagerank(edges, iters=3)
 
 
+def _q_pagerank_dangling(sf_dir: str):
+    """PageRank with uniform dangling-mass redistribution (2 rounds):
+    only EVEN doc_ids emit outlinks, so odd nodes are dangling and their
+    damped mass is re-added uniformly each round — integer-exact
+    (georay.graph dangling='redistribute'); oracle = 2 unrolled SQL
+    rounds each with a dangling-sum CTE."""
+    from georay.graph import pagerank, synthesize_outlinks_batch
+
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = int(ids.max("doc_id")) + 1
+
+    def even_outlinks(b):
+        import pyarrow.compute as _pc
+
+        evens = b.filter(_pc.equal(_pc.bit_wise_and(b.column("doc_id"), 1), 0))
+        return synthesize_outlinks_batch(evens, num_nodes=n, k=3)
+
+    edges = ids.map_batches(even_outlinks, batch_format="pyarrow")
+    return pagerank(edges, iters=2, dangling="redistribute")
+
+
 def _q_mixture_sample(sf_dir: str):
     """Mixture rebalancing: vocabulary-bounded counting pass -> integer
     per-lang keep rates toward a 40/15/15/15/15 target at ~250 rows ->
@@ -1438,6 +1459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "pack_sequences": _q_pack_sequences,
         "pagerank": _q_pagerank,
+        "pagerank_dangling": _q_pagerank_dangling,
         "chunk_text": _q_chunk_text,
         "mixture_sample": _q_mixture_sample,
         "langid": _q_langid,
@@ -1657,6 +1679,47 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN od ON od.src = e.src
               GROUP BY nd.node, nn.n)
             SELECT node, pr FROM it3""",
+        "pagerank_dangling": """
+            WITH e AS (
+              SELECT doc_id AS src,
+                     (doc_id*2654435761 + j*40503)
+                       % (SELECT MAX(doc_id)+1 FROM documents) AS dst
+              FROM documents, range(1, 4) t(j)
+              WHERE doc_id % 2 = 0),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            od AS (SELECT src, COUNT(*) AS c FROM e GROUP BY 1),
+            r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS pr
+                   FROM nodes, nn),
+            d0 AS (SELECT COALESCE(SUM(pr), 0) AS d FROM r0
+                   WHERE node NOT IN (SELECT src FROM e)),
+            it1 AS (
+              SELECT nd.node,
+                     CAST((15 * (1000000000000 // nn.n)) // 100
+                          + (85 * d0.d // 100) // nn.n
+                          + COALESCE(SUM((85 * r.pr // 100) // od.c), 0)
+                          AS BIGINT) AS pr
+              FROM nodes nd CROSS JOIN nn CROSS JOIN d0
+              LEFT JOIN e ON e.dst = nd.node
+              LEFT JOIN r0 r ON r.node = e.src
+              LEFT JOIN od ON od.src = e.src
+              GROUP BY nd.node, nn.n, d0.d),
+            d1 AS (SELECT COALESCE(SUM(pr), 0) AS d FROM it1
+                   WHERE node NOT IN (SELECT src FROM e)),
+            it2 AS (
+              SELECT nd.node,
+                     CAST((15 * (1000000000000 // nn.n)) // 100
+                          + (85 * d1.d // 100) // nn.n
+                          + COALESCE(SUM((85 * r.pr // 100) // od.c), 0)
+                          AS BIGINT) AS pr
+              FROM nodes nd CROSS JOIN nn CROSS JOIN d1
+              LEFT JOIN e ON e.dst = nd.node
+              LEFT JOIN it1 r ON r.node = e.src
+              LEFT JOIN od ON od.src = e.src
+              GROUP BY nd.node, nn.n, d1.d)
+            SELECT node, pr FROM it2""",
         "mixture_sample": """
             WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
             w(lang, wbp) AS (VALUES ('en', 4000), ('de', 1500), ('fr', 1500),

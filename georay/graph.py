@@ -40,9 +40,17 @@ any oracle whose reduction order differs).  With damping d = 85/100:
     r_{t+1}(v) = (15 * (SCALE // N)) // 100
                  + sum over edges (u -> v) of (85 * r_t(u) // 100) // outdeg(u)
 
-Dangling mass is NOT redistributed (nodes without outlinks leak their
-rank, as in the simplified formulation); the SQL mirror does the same.
-The node set is the distinct endpoints of the edge list.
+Dangling mass handling is selectable: ``dangling="keep"`` (default)
+leaks the rank of nodes without outlinks, as in the simplified
+formulation; ``dangling="redistribute"`` adds the damped dangling mass
+uniformly each round — share_t = (85 * D_t // 100) // N with
+D_t = sum of r_t over outdegree-0 nodes — still integer-exact and
+mirrored 1:1 in SQL (a node's rank state and its outgoing edges are
+hash-co-partitioned on the same key, so each actor knows its own
+dangling sum; the driver reduces P scalars per round).  An optional
+``tol`` stops early once max_v |r_{t+1}(v) - r_t(v)| <= tol (the
+per-partition max delta rides the gather barrier — no extra round
+trip).  The node set is the distinct endpoints of the edge list.
 
 No analog in the reference (a geometry utility library); this is the
 mandated large-scale curation surface, same tier as dedup/ANN.
@@ -156,6 +164,15 @@ class _PRPartition:
         # sort edges by src once; per-src outdeg repeated per edge
         order = np.argsort(src, kind="stable")
         self.src, self.dst = src[order], dst[order]
+        # owned nodes with no outgoing edges (edges are co-partitioned on
+        # hash(src) == hash(node), so membership is partition-local)
+        if len(self.src):
+            i = np.searchsorted(self.src, self.owned)
+            has_out = (i < len(self.src)) & (self.src[np.minimum(
+                i, len(self.src) - 1)] == self.owned)
+            self.no_out = ~has_out
+        else:
+            self.no_out = np.ones(len(self.owned), bool)
         if len(self.src):
             starts = np.r_[0, np.flatnonzero(self.src[1:] != self.src[:-1]) + 1]
             counts = np.diff(np.r_[starts, len(self.src)])
@@ -202,8 +219,16 @@ class _PRPartition:
             out = [None] * self.p
         return tuple(out)
 
-    def gather(self, *blocks):
-        new = np.full(len(self.owned), self.base, np.int64)
+    def dangling_sum(self) -> int:
+        """Sum of current rank over this partition's outdegree-0 nodes
+        (exact: int64 partial, Python-int reduced on the driver)."""
+        return int(self.rank[self.no_out].sum())
+
+    def gather(self, extra: int, *blocks):
+        """Apply one round: r' = base + extra + received contributions.
+        Returns this partition's max |r' - r| (the convergence signal
+        rides the existing barrier)."""
+        new = np.full(len(self.owned), self.base + extra, np.int64)
         for b in blocks:
             if b is None or b.num_rows == 0:
                 continue
@@ -211,20 +236,30 @@ class _PRPartition:
                 zero_copy_only=False))
             np.add.at(new, idx, b.column("contrib").to_numpy(
                 zero_copy_only=False))
+        delta = int(np.abs(new - self.rank).max()) if len(new) else 0
         self.rank = new
-        return self.q  # barrier token
+        return delta
 
     def collect(self) -> pa.Table:
         return pa.table({"node": pa.array(self.owned, pa.int64()),
                          "pr": pa.array(self.rank, pa.int64())})
 
 
-def pagerank(edges_ds, iters: int = 3, num_partitions: int | None = None):
+def pagerank(edges_ds, iters: int = 3, num_partitions: int | None = None,
+             dangling: str = "keep", tol: int | None = None):
     """Edge-list dataset (src, dst int64) -> (node, pr) integer
-    fixed-point PageRank after ``iters`` synchronous BSP rounds (module
-    docstring has the full architecture)."""
+    fixed-point PageRank after at most ``iters`` synchronous BSP rounds
+    (module docstring has the full architecture).
+
+    dangling: "keep" (leak outdegree-0 mass, default) or "redistribute"
+    (uniform damped dangling share each round, integer-exact).
+    tol: if set, stop after the first round whose global max rank delta
+    is <= tol (exact integer comparison)."""
     import ray as _ray
     import ray.data as _rd
+
+    if dangling not in ("keep", "redistribute"):
+        raise ValueError(f"dangling must be 'keep' or 'redistribute', got {dangling!r}")
 
     empty = pa.table({"node": pa.array([], pa.int64()),
                       "pr": pa.array([], pa.int64())})
@@ -266,13 +301,19 @@ def pagerank(edges_ds, iters: int = 3, num_partitions: int | None = None):
         base = (15 * (SCALE // n)) // 100
         _ray.get([a.seed.remote(r0, base) for a in actors])
         for _ in range(iters):
+            share = 0
+            if dangling == "redistribute":
+                d = sum(_ray.get([a.dangling_sum.remote() for a in actors]))
+                share = (85 * d // 100) // n
             outs = [a.scatter.options(num_returns=p).remote() for a in actors]
             if p == 1:
                 outs = [[o] for o in outs]
-            _ray.get([
-                actors[q].gather.remote(*[outs[i][q] for i in range(p)])
+            deltas = _ray.get([
+                actors[q].gather.remote(share, *[outs[i][q] for i in range(p)])
                 for q in range(p)
             ])
+            if tol is not None and max(deltas) <= tol:
+                break
         # re-own each result block via a passthrough task so the dataset
         # outlives the actors — blocks stay IN the object store, the
         # driver never materializes them

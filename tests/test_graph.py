@@ -81,3 +81,95 @@ class TestPagerank:
         }))
         out = pagerank(ds, iters=2)
         assert out.count() == 0
+
+
+def _serial_pagerank_dangling(edges: pd.DataFrame, iters: int) -> pd.DataFrame:
+    """Reference with uniform damped dangling-mass redistribution,
+    identical integer recurrence to the engine/SQL."""
+    nodes = np.unique(np.concatenate([edges.src.to_numpy(), edges.dst.to_numpy()]))
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    r = np.full(n, SCALE // n, np.int64)
+    base = (15 * (SCALE // n)) // 100
+    outdeg = edges.groupby("src").size()
+    has_out = np.isin(nodes, edges.src.unique())
+    for _ in range(iters):
+        d = int(r[~has_out].sum())
+        extra = (85 * d // 100) // n
+        new = np.full(n, base + extra, np.int64)
+        share = (85 * pd.Series(r, index=nodes) // 100) // outdeg
+        for s, dd in zip(edges.src, edges.dst):
+            new[idx[dd]] += share[s]
+        r = new
+    return pd.DataFrame({"node": nodes, "pr": r})
+
+
+class TestPagerankDangling:
+    def _edges(self):
+        rng = np.random.default_rng(9)
+        # sources drawn from 0..19 only; dsts up to 39 -> nodes 20..39
+        # (when not sources) are dangling
+        return pd.DataFrame({
+            "src": rng.integers(0, 20, 150).astype(np.int64),
+            "dst": rng.integers(0, 40, 150).astype(np.int64),
+        })
+
+    def test_redistribute_matches_serial(self):
+        from georay.graph import pagerank
+
+        edges = self._edges()
+        got = (
+            pagerank(ray.data.from_pandas(edges).repartition(4), iters=3,
+                     dangling="redistribute")
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        want = (_serial_pagerank_dangling(edges, 3)
+                .sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+    def test_redistribute_differs_from_keep_when_dangling_exists(self):
+        from georay.graph import pagerank
+
+        edges = self._edges()
+        ds = ray.data.from_pandas(edges)
+        keep = pagerank(ds, iters=2).to_pandas().pr.sum()
+        redist = pagerank(ds, iters=2, dangling="redistribute").to_pandas().pr.sum()
+        assert redist > keep  # redistributed mass stays in the system
+
+    def test_invalid_dangling_raises(self):
+        import pytest
+        from georay.graph import pagerank
+
+        with pytest.raises(ValueError):
+            pagerank(ray.data.from_pandas(self._edges()), dangling="drop")
+
+
+class TestPagerankConvergence:
+    def test_huge_tol_stops_after_one_round(self):
+        from georay.graph import pagerank
+
+        rng = np.random.default_rng(4)
+        edges = pd.DataFrame({
+            "src": rng.integers(0, 30, 100).astype(np.int64),
+            "dst": rng.integers(0, 30, 100).astype(np.int64),
+        })
+        ds = ray.data.from_pandas(edges)
+        one = pagerank(ds, iters=1).to_pandas().sort_values("node")
+        early = pagerank(ds, iters=10, tol=SCALE).to_pandas().sort_values("node")
+        pd.testing.assert_frame_equal(
+            one.reset_index(drop=True), early.reset_index(drop=True))
+
+    def test_tiny_tol_runs_all_rounds(self):
+        from georay.graph import pagerank
+
+        rng = np.random.default_rng(5)
+        edges = pd.DataFrame({
+            "src": rng.integers(0, 30, 100).astype(np.int64),
+            "dst": rng.integers(0, 30, 100).astype(np.int64),
+        })
+        ds = ray.data.from_pandas(edges)
+        full = pagerank(ds, iters=4).to_pandas().sort_values("node")
+        tiny = pagerank(ds, iters=4, tol=0).to_pandas().sort_values("node")
+        # tol=0 never triggers on a non-degenerate graph at 4 rounds
+        pd.testing.assert_frame_equal(
+            full.reset_index(drop=True), tiny.reset_index(drop=True))
