@@ -186,6 +186,48 @@ def encode_wav(rate: int, samples: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Optional compressed-format hook (PIL / imageio when importable)
+# ---------------------------------------------------------------------------
+
+
+def optional_image_decoder():
+    """Return a ``bytes -> (h, w[, 3]) uint8 ndarray`` decoder for
+    COMPRESSED formats (JPEG/PNG/WebP/...) backed by Pillow or imageio
+    when one is importable, else ``None``.
+
+    This container ships neither library, so the numpy codecs above stay
+    the only always-available path; in a deployment with Pillow
+    installed the multimodal stages pick this up automatically (resolved
+    once per actor in ``__init__``, never per batch)."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        def _pil(buf: bytes) -> np.ndarray:
+            with Image.open(io.BytesIO(buf)) as im:
+                if im.mode not in ("L", "RGB"):
+                    im = im.convert("RGB")
+                return np.asarray(im)
+
+        return _pil
+    except ImportError:
+        pass
+    try:
+        import imageio.v3 as iio  # type: ignore[import-not-found]
+
+        def _iio(buf: bytes) -> np.ndarray:
+            a = np.asarray(iio.imread(buf))
+            if a.ndim == 3 and a.shape[2] == 4:  # drop alpha for luma math
+                a = a[..., :3]
+            return a
+
+        return _iio
+    except ImportError:
+        return None
+
+
+# ---------------------------------------------------------------------------
 # Shared kernels over decoded pixels/samples
 # ---------------------------------------------------------------------------
 

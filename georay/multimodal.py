@@ -71,6 +71,13 @@ class ImageDecodeStage:
         self.fake = fake
         self.feature_dim = int(feature_dim)
         self.hash_impl = hash_impl
+        # compressed-format decoder (PIL/imageio) resolved ONCE per actor
+        # — None in this container; real deployments get JPEG/PNG free
+        self._ext = None
+        if not fake:
+            from georay import codecs
+
+            self._ext = codecs.optional_image_decoder()
 
     def _decode_fake(self, payload: bytes):
         h = _stable_u64_md5(payload) if self.hash_impl == "md5" else _stable_u64(payload)
@@ -90,10 +97,18 @@ class ImageDecodeStage:
             img = codecs.decode_pnm(payload)
         elif payload[:2] == b"BM":
             img = codecs.decode_bmp(payload)
+        elif self._ext is not None:
+            img = np.asarray(self._ext(payload))
+            if img.dtype != np.uint8 or img.ndim not in (2, 3):
+                raise ValueError(
+                    f"external decoder returned {img.dtype}/{img.ndim}d; "
+                    "want uint8 (h,w[,3])"
+                )
         else:
             raise ValueError(
                 f"undecodable image payload (magic {payload[:4]!r}): fake=False "
-                "supports uncompressed PPM/PGM/BMP only in this environment"
+                "decodes uncompressed PPM/PGM/BMP natively; install pillow or "
+                "imageio for compressed formats"
             )
         ch = 1 if img.ndim == 2 else img.shape[2]
         lm = codecs.luma(img)

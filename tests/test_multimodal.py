@@ -243,3 +243,51 @@ class TestRealCodecs:
         ).to_pandas()
         assert sorted(out.width) == [16 + i for i in range(8)]
         assert (out.n_channels == 3).all()
+
+
+class TestOptionalCompressedDecoder:
+    def test_hook_resolves_or_none(self):
+        from georay.codecs import optional_image_decoder
+
+        dec = optional_image_decoder()
+        assert dec is None or callable(dec)
+        try:
+            import PIL  # noqa: F401
+            has_lib = True
+        except ImportError:
+            try:
+                import imageio  # noqa: F401
+                has_lib = True
+            except ImportError:
+                has_lib = False
+        assert (dec is not None) == has_lib
+
+    def test_injected_decoder_used_for_unknown_magic(self):
+        from georay.multimodal import ImageDecodeStage
+
+        stage = ImageDecodeStage(fake=False, feature_dim=4)
+        stage._ext = lambda buf: np.full((4, 6, 3), 128, np.uint8)
+        w, h, ch, lm, feat = stage._decode_real(b"\x89PNG\r\n\x1a\nxxxx")
+        assert (w, h, ch) == (6, 4, 3)
+        assert abs(lm - 128 / 255) < 1e-9
+        assert len(feat) == 4
+
+    def test_injected_decoder_bad_dtype_raises(self):
+        import pytest
+
+        from georay.multimodal import ImageDecodeStage
+
+        stage = ImageDecodeStage(fake=False)
+        stage._ext = lambda buf: np.zeros((4, 6), np.float32)
+        with pytest.raises(ValueError, match="external decoder"):
+            stage._decode_real(b"\x89PNGxxxx")
+
+    def test_no_decoder_raises_with_install_hint(self):
+        import pytest
+
+        from georay.multimodal import ImageDecodeStage
+
+        stage = ImageDecodeStage(fake=False)
+        stage._ext = None
+        with pytest.raises(ValueError, match="pillow or"):
+            stage._decode_real(b"\x89PNGxxxx")
