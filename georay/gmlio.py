@@ -136,6 +136,24 @@ def _segment_from_xml(seg) -> dict:
 _HREF_CTX: list[dict] = []
 _HREF_MAX_DEPTH = 8
 
+#: caller-supplied transport for REMOTE xlink:href members
+#: (CurveCoordinateListFactory.java:198-204 unmarshals any URI; we keep
+#: the per-geometry network fetch out of the engine).  Signature:
+#: ``fetcher(url: str) -> bytes`` returning the referenced GML document.
+#: Resolution still happens only at polygon-LOAD time (driver side,
+#: before the broadcast) — never inside a per-batch stage — so a fetcher
+#: is a bounded number of calls over the small broadcast side.
+_HREF_FETCHER = None
+
+
+def set_href_fetcher(fetcher):
+    """Install (or clear, with None) the remote-href transport; returns
+    the previous fetcher so tests/callers can restore it."""
+    global _HREF_FETCHER
+    prev = _HREF_FETCHER
+    _HREF_FETCHER = fetcher
+    return prev
+
 
 def _href_of(elem) -> str | None:
     for k, v in elem.attrib.items():
@@ -170,11 +188,25 @@ def _resolve_href(href: str):
     ctx = _HREF_CTX[-1] if _HREF_CTX else {}
     parsed = urllib.parse.urlparse(href)
     if parsed.scheme in ("http", "https", "ftp", "s3", "gs"):
-        raise ValueError(
-            f"remote xlink:href {href!r} is not dereferenced (no per-geometry "
-            "network fetch at scale); inline the member or ship the file "
-            "next to the referencing document"
-        )
+        if _HREF_FETCHER is None:
+            raise ValueError(
+                f"remote xlink:href {href!r} is not dereferenced (no per-geometry "
+                "network fetch at scale); inline the member, ship the file "
+                "next to the referencing document, or install a transport "
+                "with gmlio.set_href_fetcher"
+            )
+        frag = parsed.fragment
+        url = href.split("#", 1)[0]
+        root = ET.fromstring(_HREF_FETCHER(url))
+        el = _elem_by_gml_id(root, frag) if frag else root
+        if el is None:
+            raise ValueError(
+                f"xlink:href {href!r}: no element with gml:id={frag!r} in fetched {url}"
+            )
+        # remote members may fragment-reference within themselves, but a
+        # relative path has no directory to resolve against
+        _HREF_CTX.append({"dir": None, "root": root})
+        return el
     if parsed.scheme not in ("", "file"):
         raise ValueError(f"unsupported xlink:href scheme {parsed.scheme!r} in {href!r}")
     path, frag = parsed.path, parsed.fragment

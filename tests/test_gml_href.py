@@ -115,3 +115,42 @@ class TestRingHref:
         root = ET.fromstring(RING_DOC)
         with pytest.raises(ValueError, match="document context"):
             parse_geometry(root)
+
+
+class TestInjectedRemoteFetcher:
+    def test_fetcher_resolves_remote_member(self, tmp_path):
+        from georay.gmlio import set_href_fetcher
+
+        calls = []
+
+        def fetcher(url):
+            calls.append(url)
+            assert url == "https://example.com/curves.xml"  # no fragment
+            return MEMBER_FILE.replace("seg2", "c1").encode()
+
+        prev = set_href_fetcher(fetcher)
+        try:
+            desc = parse_gml_file(_write(tmp_path, "ring.xml", REMOTE_REF_DOC))
+        finally:
+            set_href_fetcher(prev)
+        members = desc["exterior"]["members"]
+        assert len(members) == 1
+        np.testing.assert_allclose(
+            members[0]["coords"], [[1.0, 1.0], [1.0, 0.0], [0.0, 0.0]]
+        )
+        assert members[0]["epsg"] == 4326  # inherits the ring's CRS
+        assert calls == ["https://example.com/curves.xml"]
+
+    def test_fetcher_missing_fragment_raises(self, tmp_path):
+        from georay.gmlio import set_href_fetcher
+
+        prev = set_href_fetcher(lambda url: MEMBER_FILE.encode())  # id=seg2, want c1
+        try:
+            with pytest.raises(ValueError, match="no element with gml:id"):
+                parse_gml_file(_write(tmp_path, "ring.xml", REMOTE_REF_DOC))
+        finally:
+            set_href_fetcher(prev)
+
+    def test_without_fetcher_still_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="set_href_fetcher"):
+            parse_gml_file(_write(tmp_path, "ring.xml", REMOTE_REF_DOC))
