@@ -56,9 +56,11 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
+    import time as _time
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        _t0 = _time.monotonic()
         try:
             got = normalize(to_pandas(fn(sf_dir)))
         except Exception as ex:
@@ -94,7 +96,7 @@ def main():
             print(f"     dtype mismatch: got {list(map(str, got.dtypes))} want {list(map(str, want.dtypes))}")
         if status == "FAIL":
             failures += 1
-        print(f"{status} {name}: rows {len(got)}/{len(want)} cols_match={ok_cols} vals_match={ok_vals}")
+        print(f"{status} {name}: rows {len(got)}/{len(want)} cols_match={ok_cols} vals_match={ok_vals} wall={_time.monotonic() - _t0:.1f}s")
         if not ok_cols:
             print(f"     got cols:  {list(got.columns)}\n     want cols: {list(want.columns)}")
         if ok_rows and ok_cols and not ok_vals:
