@@ -63,6 +63,30 @@ def _geo(sf_dir: str):
         ds = _GEO_CACHE[sf_dir] = geo_dataset(sf_dir, res=CELL_RES).materialize()
     return ds
 
+
+#: session-scoped memo of table reads — the driver's correctness gate
+#: runs all 70 queries in one session, ~40 of which re-read the same
+#: (documents, [doc_id, text]) projection; decoding it once cuts the
+#: suite's fixed cost.  Only SMALL files are materialized (gate scales
+#: are MBs) — above the cap the lazy read is returned uncached, so the
+#: memo never pins big data in the object store.
+_READ_CACHE: dict[tuple, Any] = {}
+_READ_CACHE_MAX_BYTES = 256 * 2**20
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    key = (sf_dir, table, tuple(columns) if columns else None)
+    ds = _READ_CACHE.get(key)
+    if ds is None:
+        import os
+
+        path = f"{sf_dir}/{table}.parquet"
+        ds = ray.data.read_parquet(path, columns=columns)
+        if os.path.getsize(path) > _READ_CACHE_MAX_BYTES:
+            return ds  # big input: stay lazy, don't memo
+        ds = _READ_CACHE[key] = ds.materialize()
+    return ds
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -200,7 +224,7 @@ def _q_dedup_exact(sf_dir: str):
     shuffle; SURVEY.md §2.8 exact dedup)."""
     from georay.dedup import text_key_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     agg = ds.map_batches(text_key_batch, batch_format="pyarrow").groupby(["h1", "h2"]).aggregate(
         Min("doc_id", alias_name="doc_id")
     )
@@ -210,10 +234,7 @@ def _q_dedup_exact(sf_dir: str):
 def _q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-style per-flag aggregate; money summed as integer cents
     for exact distributed addition."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
-    )
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
 
     def partial(b: pa.Table) -> pa.Table:
         qty = _cents(b.column("l_quantity").to_numpy())
@@ -260,7 +281,7 @@ def _q_lineitem_agg(sf_dir: str):
 
 def _q_top_customers(sf_dir: str):
     """Join orders x customer, top 10 by total spend (cents)."""
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def to_cents(b: pa.Table) -> pa.Table:
         c = _cents(b.column("o_totalprice").to_numpy())
@@ -326,7 +347,7 @@ def _q_top_customers(sf_dir: str):
 
 
 def _q_events_by_type(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def to_cents(b: pa.Table) -> pa.Table:
         c = _cents(b.column("value").to_numpy())
@@ -369,7 +390,7 @@ def _q_token_stats(sf_dir: str):
     """Token counting + quality scoring (georay.text), oracle-checked."""
     from georay.text import quality_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(quality_batch, batch_format="pyarrow")
 
 
@@ -379,7 +400,7 @@ def _q_pagerank(sf_dir: str):
     (georay.graph); oracle = 3 unrolled SQL join+aggregate rounds."""
     from georay.graph import pagerank, synthesize_outlinks_batch
 
-    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = _read(sf_dir, "documents", ["doc_id"])
     n = int(ids.max("doc_id")) + 1
     edges = ids.map_batches(
         lambda b: synthesize_outlinks_batch(b, num_nodes=n, k=3),
@@ -396,7 +417,7 @@ def _q_pagerank_dangling(sf_dir: str):
     rounds each with a dangling-sum CTE."""
     from georay.graph import pagerank, synthesize_outlinks_batch
 
-    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = _read(sf_dir, "documents", ["doc_id"])
     n = int(ids.max("doc_id")) + 1
 
     def even_outlinks(b):
@@ -415,7 +436,7 @@ def _q_mixture_sample(sf_dir: str):
     deterministic hash filter (md5 oracle surface)."""
     from georay.sample import mixture_sample
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
     return mixture_sample(
         ds,
         weights_bp={"en": 4000, "de": 1500, "fr": 1500, "es": 1500, "zh": 1500},
@@ -430,7 +451,7 @@ def _q_chunk_text(sf_dir: str):
     chunk-index-vectorized explode, no shuffle."""
     from georay.text import chunk_text
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return chunk_text(ds, size=200, stride=150)
 
 
@@ -440,7 +461,7 @@ def _q_pack_sequences(sf_dir: str):
     distributed two-pass scan (georay.pack), oracle = SQL window sum."""
     from georay.pack import pack_sequences
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return pack_sequences(ds, seq_len=512)
 
 
@@ -448,7 +469,7 @@ def _q_langid(sf_dir: str):
     """Heuristic language ID (rows-only check; accuracy tested in pytest)."""
     from georay.text import langid_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(langid_batch, batch_format="pyarrow")
 
 
@@ -459,7 +480,7 @@ def _q_text_normalize(sf_dir: str):
     byte, not just counts."""
     from georay.text import normalize_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(normalize_batch, batch_format="pyarrow")
 
 
@@ -470,7 +491,7 @@ def _q_top_ngrams(sf_dir: str):
     ordering itself (ties break lexicographically)."""
     from georay.text import top_ngrams
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     df = top_ngrams(ds, k=3, top=20).to_pandas().reset_index(drop=True)
     df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
     return df
@@ -483,9 +504,7 @@ def _q_label_centroids(sf_dir: str):
     final division is the only float op (see georay.ann.label_centroids)."""
     from georay.ann import label_centroids
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
-    )
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
     return label_centroids(ds)
 
 
@@ -496,7 +515,7 @@ def _q_redact(sf_dir: str):
     for byte."""
     from georay.text import redact_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(redact_batch, batch_format="pyarrow")
 
 
@@ -507,7 +526,7 @@ def _q_repetition(sf_dir: str):
     Python."""
     from georay.text import repetition_stats_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
 
 
@@ -523,7 +542,7 @@ def _q_bm25(sf_dir: str):
     so summation order cannot perturb the result (georay.search)."""
     from georay.search import bm25_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return bm25_topk(ds, _BM25_TERMS, top=10)
 
 
@@ -535,7 +554,7 @@ def _q_decontam(sf_dir: str):
     search — no shuffle, no join (georay.decontam)."""
     from georay.decontam import decontaminate
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     ev = docs.map_batches(
         lambda b: b.filter(
             pa.array(b.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 0)
@@ -554,9 +573,7 @@ def _q_kmeans(sf_dir: str):
     oracle replays both rounds in CTEs (georay.ann.kmeans_assign)."""
     from georay.ann import kmeans_assign
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return kmeans_assign(ds, k=4, iters=2)
 
 
@@ -565,7 +582,7 @@ def _q_fingerprint(sf_dir: str):
     hash DuckDB mirrors exactly via md5_number_lower — full value oracle."""
     from georay.text import fingerprint_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         lambda b: fingerprint_batch(b, hash_impl="md5"), batch_format="pyarrow"
     )
@@ -576,7 +593,7 @@ def _q_simhash(sf_dir: str):
     full value oracle reconstructs every bit via majority vote in SQL."""
     from georay.dedup import simhash_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         lambda b: simhash_batch(b, hash_impl="md5"), batch_format="pyarrow"
     ).map_batches(lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow")
@@ -593,7 +610,7 @@ def _q_simhash_pairs(sf_dir: str):
     hamming<=3 pairs, so index layout differences are invisible."""
     from georay.dedup import simhash_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3, hash_impl="md5")
 
 
@@ -610,7 +627,7 @@ def _minhash_verified_pairs(sf_dir: str, mode: str = "auto"):
         return cached
     from georay.dedup import band_bucket_pairs, jaccard_verify_pairs, minhash_band_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     banded = ds.map_batches(minhash_band_batch, batch_format="pyarrow")
     cand = band_bucket_pairs(banded, mode=mode).materialize()
     # surface bucket truncation/thinning loudly instead of letting the
@@ -705,7 +722,7 @@ def _q_dedup_apply(sf_dir: str):
     from georay.dedup import apply_dedup
 
     res = _minhash_resolution(sf_dir)
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = _read(sf_dir, "documents", ["doc_id"])
     return apply_dedup(docs, res)
 
 
@@ -720,7 +737,7 @@ def _q_dedup_stream(sf_dir: str):
     from georay.state.seen_index import StreamDedupStage, make_seen_index
 
     shards = make_seen_index()
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     keyed = ds.map_batches(md5_batch, batch_format="pyarrow")
     admitted = keyed.map_batches(
         StreamDedupStage(shards, key_col="h"), batch_format="pyarrow"
@@ -775,7 +792,7 @@ def _q_embed_dup_pairs(sf_dir: str):
                 }
             )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ds.map_batches(
         BruteDupActor,
         fn_constructor_kwargs={"payload_ref": ref},
@@ -798,7 +815,7 @@ def _q_ann_cosine(sf_dir: str):
         "vectors": _to_matrix(qsel.column("embedding")),
     }
     ref = ray.put(queries_payload)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     partials = ds.map_batches(
         BruteForceKNN,
         fn_constructor_kwargs={"query_ref": ref, "k": 5},
@@ -817,7 +834,7 @@ def _q_embed_lsh_pairs(sf_dir: str):
     on (table, key), and applies the same cosine >= 0.30 filter."""
     from georay.dedup import embed_lsh_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     # 4 planes/table: collision prob for a cos=0.30 pair is ~0.6^4=0.13 per
     # table (~2/3 over 8 tables); true NEAR-dup workloads (cos>0.9) use the
     # default 12 planes — see tests/test_dedup.py planted-duplicate recall
@@ -833,7 +850,7 @@ def _q_ann_ivf(sf_dir: str):
     applies verbatim; partial-probe recall is covered in pytest."""
     from georay.ann import IVFSearchActor, lloyd_centroids, merge_topk_partials, _to_matrix
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     # bounded quantizer sample + the 4 query vectors (first rows by file order)
     sample_tbl = pa.concat_tables(ray.get(ds.limit(256).to_arrow_refs()))
     sample = _to_matrix(sample_tbl.column("embedding"))
@@ -900,7 +917,7 @@ def _q_temporal_extent(sf_dir: str):
     """T-04: global temporal extent of events, padded +/- 1 hour."""
     from georay.temporal import HOUR_US
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    ds = _read(sf_dir, "events", ["ts"])
     mm = ds.aggregate(Min("ts"), Max("ts"))
     tmin = mm["min(ts)"]
     tmax = mm["max(ts)"]
@@ -918,7 +935,7 @@ def _q_temporal_split(sf_dir: str):
     (interval n MEETS n+1) — the time-partition boundary generator."""
     from georay.temporal import split_interval
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    ds = _read(sf_dir, "events", ["ts"])
     mm = ds.aggregate(Min("ts"), Max("ts"))
     b_us = np.datetime64(mm["min(ts)"], "us").astype(np.int64)
     e_us = np.datetime64(mm["max(ts)"], "us").astype(np.int64)
@@ -1006,7 +1023,7 @@ def _q_media_decode(sf_dir: str):
     truncation exactly."""
     from georay.multimodal import ImageDecodeStage, ResizeStage, synth_media_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _read(sf_dir, "documents", ["doc_id"])
     media = ds.map_batches(
         lambda b: synth_media_batch(b, hash_impl="md5"), batch_format="pyarrow"
     )
@@ -1102,8 +1119,8 @@ def _q_poly_join(sf_dir: str):
 def _q_segment_revenue(sf_dir: str):
     """Distributed hash join (Dataset.join) + groupby: revenue per market
     segment in integer cents."""
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
     def to_cents(b: pa.Table) -> pa.Table:
         c = _cents(b.column("o_totalprice").to_numpy())
@@ -1155,7 +1172,7 @@ def _q_geo_explode(sf_dir: str):
 def _q_distinct_segments(sf_dir: str):
     """Set op: distinct market segments (Dataset.unique analog) via
     per-block pyarrow count partials + tiny merge."""
-    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
 
     def partial(b: pa.Table) -> pa.Table:
         return (
@@ -1182,7 +1199,7 @@ def _q_sessionize(sf_dir: str):
     """Gap-based sessionization (30-min): windowed aggregate custom op."""
     from georay.pipelines.events import sessionize
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
     return sessionize(ds)
 
 
@@ -1190,9 +1207,7 @@ def _q_asof_purchase(sf_dir: str):
     """As-of join: latest strictly-earlier purchase per event."""
     from georay.pipelines.events import asof_purchase
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
-    )
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
     return asof_purchase(ds)
 
 
@@ -1222,7 +1237,7 @@ def _q_events_hourly(sf_dir: str):
     """Tumbling 1-hour window aggregate per event type (time-windowed
     groupby): window key = integer floor of epoch-us to the hour, exact
     on both sides."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
     HOUR_US = 3_600_000_000
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1262,9 +1277,7 @@ def _q_events_topk(sf_dir: str):
     rank — hash-partitioned vectorized kernel, no per-user dispatch."""
     from georay.pipelines.events import window_topk
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
-    )
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
     return window_topk(ds, k=2)
 
 
@@ -1275,7 +1288,7 @@ def _q_doc_length_percentiles(sf_dir: str):
     quantile_disc mirrors it bit-for-bit."""
     from georay.sketch import grouped_percentiles
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     return grouped_percentiles(ds, "lang", "n_chars", ps=(0.5, 0.9, 0.99))
 
 
@@ -1293,7 +1306,7 @@ def _q_doc_sample(sf_dir: str):
     mirrors the exact predicate via md5_number_lower."""
     from georay.sample import stratified_sample
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
     return stratified_sample(
         ds, _SAMPLE_RATES_BP, default_bp=_SAMPLE_DEFAULT_BP,
         hash_impl="md5", keep_cols=("doc_id", "lang"),
@@ -1307,9 +1320,7 @@ def _q_events_sliding(sf_dir: str):
     the SQL RANGE-frame window (ties included on both sides)."""
     from georay.pipelines.events import events_sliding
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"]
-    )
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
     return events_sliding(ds)
 
 
@@ -1319,7 +1330,7 @@ def _q_events_window(sf_dir: str):
     shape as sessionize — no per-user map_groups dispatch)."""
     from georay.pipelines.events import window_top1
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"])
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
     return window_top1(ds)
 
 
@@ -1328,7 +1339,7 @@ def _q_dup_spans(sf_dir: str):
     (window-granular exact-substring dedup)."""
     from georay.dedup import dup_spans
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dup_spans(ds, w=5)
 
 
