@@ -173,7 +173,7 @@ def default_partitions(
     num_partitions: int | None = None,
     ds=None,
     n_rows: int | None = None,
-    rows_per_partition: int = ROWS_PER_PARTITION,
+    rows_per_partition: int | None = None,  # None -> ROWS_PER_PARTITION
 ) -> int:
     """Partition count sized to the CLUSTER **and the DATA**.
 
@@ -187,6 +187,8 @@ def default_partitions(
     ``dedup._normalize_blocks``)."""
     if num_partitions is not None:
         return num_partitions
+    if rows_per_partition is None:
+        rows_per_partition = ROWS_PER_PARTITION  # resolved at call time
     import ray
 
     p = max(4, int(ray.cluster_resources().get("CPU", 4)) * 2)

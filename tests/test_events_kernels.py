@@ -281,3 +281,34 @@ class TestStratifiedSample:
             "CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END"
         ).df()
         assert sorted(got.doc_id) == sorted(want.doc_id)
+
+
+class TestDataAwarePartitionsE2E:
+    def test_sessionize_with_forced_tiny_rows_per_partition(self, ray_session, monkeypatch):
+        """Forcing ROWS_PER_PARTITION far below the row count drives the
+        partition count above the old 256 cap; sessionize output must be
+        identical to a small fixed partitioning (window logic never
+        crosses users regardless of partition count)."""
+        import pyarrow as pa
+
+        import georay.pipelines.events as ev
+
+        rng = np.random.default_rng(21)
+        n = 3000
+        t = pa.table({
+            "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(
+                np.sort(rng.integers(0, 10**12, n)).astype("datetime64[us]"),
+                pa.timestamp("us")),
+        })
+        import ray.data
+
+        ds = ray.data.from_arrow(t)
+        monkeypatch.setattr(ev, "ROWS_PER_PARTITION", 10)
+        assert ev.default_partitions(None, n_rows=n) > 256
+        many = (ev.sessionize(ds).to_pandas()
+                .sort_values(["user_id", "session_idx"]).reset_index(drop=True))
+        few = (ev.sessionize(ds, num_partitions=8).to_pandas()
+               .sort_values(["user_id", "session_idx"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(many, few)

@@ -61,8 +61,10 @@ def main():
         if only and name not in only:
             continue
         _t0 = _time.monotonic()
+        _ray_wall = None
         try:
             got = normalize(to_pandas(fn(sf_dir)))
+            _ray_wall = _time.monotonic() - _t0
         except Exception as ex:
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
             failures += 1
@@ -96,7 +98,7 @@ def main():
             print(f"     dtype mismatch: got {list(map(str, got.dtypes))} want {list(map(str, want.dtypes))}")
         if status == "FAIL":
             failures += 1
-        print(f"{status} {name}: rows {len(got)}/{len(want)} cols_match={ok_cols} vals_match={ok_vals} wall={_time.monotonic() - _t0:.1f}s")
+        print(f"{status} {name}: rows {len(got)}/{len(want)} cols_match={ok_cols} vals_match={ok_vals} wall={_time.monotonic() - _t0:.1f}s ray={_ray_wall:.1f}s")
         if not ok_cols:
             print(f"     got cols:  {list(got.columns)}\n     want cols: {list(want.columns)}")
         if ok_rows and ok_cols and not ok_vals:
