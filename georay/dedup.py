@@ -32,14 +32,30 @@ MERSENNE_P = np.uint64((1 << 61) - 1)
 
 
 
-def _cluster_partitions(mult: int = 1, cap: int = 32) -> int:
+def _cluster_partitions(mult: int = 1, cap: int = 32, ds=None,
+                        rows_per_partition: int = 2_000_000) -> int:
     """Cluster-sized partition count (a fixed constant starves a big
     cluster).  ``mult`` > 1 over-partitions for group-task kernels
     (smaller per-task working sets); joins keep mult=1 (each partition
-    carries aggregator overhead)."""
+    carries aggregator overhead).  ``cap`` bounds the fixed aggregator
+    overhead at small scale — but when ``ds``'s row count is knowable
+    for free (materialized dataset / fresh parquet read; ``_meta_count``
+    never computes), the count additionally grows as
+    ceil(rows / rows_per_partition) past the cap, so per-partition
+    shares stay bounded at 10^12 rows instead of growing linearly
+    (same rows-aware pattern as ``pipelines.events.default_partitions``)."""
     import ray
 
-    return max(4, min(int(ray.cluster_resources().get("CPU", 4)) * mult, cap))
+    p = max(4, min(int(ray.cluster_resources().get("CPU", 4)) * mult, cap))
+    n_rows = None
+    if ds is not None:
+        try:
+            n_rows = ds._meta_count()
+        except Exception:
+            n_rows = None
+    if n_rows:
+        p = min(max(p, -(-int(n_rows) // max(1, rows_per_partition))), 65_536)
+    return p
 
 
 def _normalize_blocks(ds, n_rows: int, rows_per_block: int = 4_000_000):
@@ -609,7 +625,9 @@ def _join_pairs_from_slim(slim, pair_filter=None, max_bucket=None):
         )
 
     right = slim.map_batches(rename_right, batch_format="pyarrow")
-    n_part = _cluster_partitions()
+    # slim is materialized, so its row count is free — the join partition
+    # count scales with the slim table, not just the cluster
+    n_part = _cluster_partitions(ds=slim)
     j = slim.join(right, join_type="inner", num_partitions=n_part, on=("band", "key"))
 
     def ordered(b: pa.Table) -> pa.Table:
@@ -1179,7 +1197,10 @@ def embed_lsh_pairs(ds, vectors_ref=None, threshold: float = 0.9, n_tables: int 
     # of its buckets (a bucket's rows always hash together), replacing
     # per-bucket map_groups dispatch (~0.5 ms x #buckets) with P group
     # tasks whose inner per-bucket matmuls run in a plain loop
-    n_part = _cluster_partitions(mult=2, cap=256)
+    # banded is lazy (rows = n_vecs x n_tables); the input's row count —
+    # free when ds is a fresh read/materialized — is a lower bound that
+    # still scales the count with the corpus past the 256 cap
+    n_part = _cluster_partitions(mult=2, cap=256, ds=ds)
     PMIX = np.uint64(0x9E3779B97F4A7C15)
 
     def add_part(b: pa.Table) -> pa.Table:

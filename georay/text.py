@@ -255,7 +255,10 @@ def top_ngrams(docs_ds, k: int = 3, top: int = 20, num_partitions: int | None = 
 
     from georay.dedup import _cluster_partitions
 
-    p = num_partitions or _cluster_partitions(mult=2, cap=256)
+    # doc count (free plan metadata on a fresh read) scales the count
+    # past the 256 cap; partial rows (distinct ngrams/block) exceed doc
+    # rows, so this is a conservative floor, not an exact size
+    p = num_partitions or _cluster_partitions(mult=2, cap=256, ds=docs_ds)
 
     def partial_with_part(b: pa.Table) -> pa.Table:
         t = ngram_count_batch(b, k=k)

@@ -594,3 +594,30 @@ class TestDupSpans:
         assert got["the quick brown fox jumps"] == (3, 3)
         # nothing with fewer than 2 docs leaks through
         assert (out.n_docs >= 2).all()
+
+
+class TestClusterPartitionsRowsAware:
+    def test_scales_past_cap_with_known_rows(self, ray_session):
+        import ray.data
+
+        from georay.dedup import _cluster_partitions
+
+        ds = ray.data.range(100_000).materialize()
+        p = _cluster_partitions(cap=32, ds=ds, rows_per_partition=100)
+        assert p == 1000  # ceil(100k/100) > cap
+
+    def test_small_data_keeps_cap_behavior(self, ray_session):
+        import ray.data
+
+        from georay.dedup import _cluster_partitions
+
+        ds = ray.data.range(10).materialize()
+        assert _cluster_partitions(cap=32, ds=ds) == _cluster_partitions(cap=32)
+
+    def test_unknown_rows_unchanged(self, ray_session):
+        import ray.data
+
+        from georay.dedup import _cluster_partitions
+
+        lazy = ray.data.range(1000).map_batches(lambda b: b)  # count unknown
+        assert _cluster_partitions(cap=32, ds=lazy) == _cluster_partitions(cap=32)
