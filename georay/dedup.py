@@ -1310,7 +1310,7 @@ def _bin_to_matrix(col) -> np.ndarray:
 
 def cosine_verify_pairs(pairs_ds, vectors_ds, threshold: float,
                         vec_col: str = "embedding", id_col: str = "vec_id",
-                        num_partitions: int = 8):
+                        num_partitions: int | None = None):
     """Exact-cosine verification of candidate (doc_a, doc_b) pairs via two
     distributed hash joins against the vector dataset — the scale-safe
     alternative to broadcasting the whole matrix (only candidate rows and
@@ -1327,6 +1327,13 @@ def cosine_verify_pairs(pairs_ds, vectors_ds, threshold: float,
 
         return _rd.from_arrow(
             pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())})
+        )
+    if num_partitions is None:
+        # the joins shuffle the VECTOR table too — size to the larger side
+        # (the former fixed 8 put 1/8th of the corpus in each aggregator)
+        num_partitions = max(
+            _cluster_partitions(ds=vectors_ds),
+            min(max(4, -(-rows // 2_000_000)), 65_536),
         )
     pairs_ds = _normalize_blocks(pairs_ds, rows)
 
@@ -1375,7 +1382,7 @@ def cosine_verify_pairs(pairs_ds, vectors_ds, threshold: float,
 
 def jaccard_verify_pairs(pairs_ds, docs_ds, k: int = 3, threshold_num: int = 1,
                          threshold_den: int = 2, id_col: str = "doc_id",
-                         text_col: str = "text", num_partitions: int = 8):
+                         text_col: str = "text", num_partitions: int | None = None):
     """Exact k-shingle Jaccard verification of candidate pairs: keep
     (doc_a, doc_b) iff ``|Sa ∩ Sb| * den >= |Sa ∪ Sb| * num`` — i.e.
     J >= num/den decided in INTEGER arithmetic (float-free, so a DuckDB
@@ -1403,6 +1410,13 @@ def jaccard_verify_pairs(pairs_ds, docs_ds, k: int = 3, threshold_num: int = 1,
             pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
         )
     pairs_ds = _normalize_blocks(pairs_ds, n_pairs)
+    if num_partitions is None:
+        # the joins shuffle the DOCUMENT table too — size to the larger
+        # side (the former fixed 8 put 1/8th of the corpus per aggregator)
+        num_partitions = max(
+            _cluster_partitions(ds=docs_ds),
+            min(max(4, -(-n_pairs // 2_000_000)), 65_536),
+        )
     j1 = pairs_ds.join(
         docs_ds, join_type="inner", num_partitions=num_partitions,
         on=("doc_a",), right_on=(id_col,),
@@ -1489,7 +1503,8 @@ def connected_components(pairs_ds, num_partitions: int | None = None, max_iter: 
     if pairs_ds.count() == 0:
         return _rd.from_arrow(empty)
     if num_partitions is None:
-        num_partitions = max(4, min(int(_ray.cluster_resources().get("CPU", 4)), 64))
+        # pairs are materialized: size to measured rows past the cap
+        num_partitions = _cluster_partitions(cap=64, ds=pairs_ds)
     P = np.uint64(num_partitions)
     MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -1628,7 +1643,9 @@ def apply_dedup(docs_ds, resolution_ds, id_col: str = "doc_id",
     import ray.data as _rd
 
     if num_partitions is None:
-        num_partitions = max(4, min(int(ray.cluster_resources().get("CPU", 4)), 64))
+        # the LEFT ANTI join shuffles the whole corpus — size to its
+        # row count (free plan metadata on a fresh read) past the cap
+        num_partitions = _cluster_partitions(cap=64, ds=docs_ds)
 
     def dupes_only(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
