@@ -213,8 +213,14 @@ def cmd_curate(args):
         .aggregate(Min("doc_id", alias_name="keep_id"))
         .map_batches(lambda b: b.select(["keep_id"]), batch_format="pyarrow")
     )
+    from georay.dedup import _cluster_partitions
+
+    # the semi join shuffles the full annotated corpus: size partitions
+    # to its measured rows (filt is a fresh parquet read of the
+    # checkpoint, so the count is free plan metadata), not a fixed 16
+    n_part = args.num_partitions or _cluster_partitions(cap=64, ds=filt)
     deduped = filt.join(
-        survivors, join_type="inner", num_partitions=args.num_partitions,
+        survivors, join_type="inner", num_partitions=n_part,
         on=("doc_id",), right_on=("keep_id",),
     )
 
@@ -338,7 +344,8 @@ def main(argv=None):
                    help="comma list of detected languages to keep (default: all)")
     c.add_argument("--rate-bp", type=int, default=10000,
                    help="per-language keep rate in basis points (10000 = keep all)")
-    c.add_argument("--num-partitions", type=int, default=16)
+    c.add_argument("--num-partitions", type=int, default=None,
+                   help="semi-join partitions; default sizes to corpus rows + cluster")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_curate)
 
