@@ -58,6 +58,31 @@ def _cluster_partitions(mult: int = 1, cap: int = 32, ds=None,
     return p
 
 
+def _join_partitions(big_ds, extra_rows: int | None = None, floor: int = 8,
+                     rows_per_partition: int = 250_000) -> int:
+    """Hash-join partition count: every partition carries fixed
+    aggregator overhead, so the count follows the DATA — the old fixed
+    floor (8, matching the measured small-scale optimum) until the
+    bigger join side is known to exceed floor x rows_per_partition, then
+    ceil(rows / rows_per_partition) up to 65536.  Row counts come from
+    free plan metadata only (``_meta_count``); an opaque lazy side keeps
+    the floor rather than guessing."""
+    n = None
+    if big_ds is not None:
+        try:
+            n = big_ds._meta_count()
+        except Exception:
+            n = None
+    if extra_rows is not None:
+        n = max(n or 0, int(extra_rows))
+    if not n:
+        return floor
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(min(floor, cpus), min(-(-n // rows_per_partition), 65_536))
+
+
 def _normalize_blocks(ds, n_rows: int, rows_per_block: int = 4_000_000):
     """Rebuild a materialized dataset's blocks from actual rows before a
     hash join: sort-based aggregates emit SCHEMALESS empty blocks for
@@ -1329,12 +1354,7 @@ def cosine_verify_pairs(pairs_ds, vectors_ds, threshold: float,
             pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())})
         )
     if num_partitions is None:
-        # the joins shuffle the VECTOR table too — size to the larger side
-        # (the former fixed 8 put 1/8th of the corpus in each aggregator)
-        num_partitions = max(
-            _cluster_partitions(ds=vectors_ds),
-            min(max(4, -(-rows // 2_000_000)), 65_536),
-        )
+        num_partitions = _join_partitions(vectors_ds, extra_rows=rows)
     pairs_ds = _normalize_blocks(pairs_ds, rows)
 
     def pack(batch: pa.Table) -> pa.Table:
@@ -1411,12 +1431,7 @@ def jaccard_verify_pairs(pairs_ds, docs_ds, k: int = 3, threshold_num: int = 1,
         )
     pairs_ds = _normalize_blocks(pairs_ds, n_pairs)
     if num_partitions is None:
-        # the joins shuffle the DOCUMENT table too — size to the larger
-        # side (the former fixed 8 put 1/8th of the corpus per aggregator)
-        num_partitions = max(
-            _cluster_partitions(ds=docs_ds),
-            min(max(4, -(-n_pairs // 2_000_000)), 65_536),
-        )
+        num_partitions = _join_partitions(docs_ds, extra_rows=n_pairs)
     j1 = pairs_ds.join(
         docs_ds, join_type="inner", num_partitions=num_partitions,
         on=("doc_a",), right_on=(id_col,),
