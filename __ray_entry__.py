@@ -628,7 +628,14 @@ def _minhash_verified_pairs(sf_dir: str, mode: str = "auto"):
     from georay.dedup import band_bucket_pairs, jaccard_verify_pairs, minhash_band_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    banded = ds.map_batches(minhash_band_batch, batch_format="pyarrow")
+    # the 128-permutation signature pass is identical across modes —
+    # share it so the per-mode walls time candidate generation, not a
+    # repeated signature pass (same session-memo pattern as _GEO_CACHE)
+    banded = _MINHASH_CACHE.get((sf_dir, "_banded"))
+    if banded is None:
+        banded = _MINHASH_CACHE[(sf_dir, "_banded")] = ds.map_batches(
+            minhash_band_batch, batch_format="pyarrow"
+        ).materialize()
     cand = band_bucket_pairs(banded, mode=mode).materialize()
     # surface bucket truncation/thinning loudly instead of letting the
     # flag column (and join-mode marker rows, doc_a < 0) silently vanish
